@@ -1,0 +1,180 @@
+"""Configuration for temp_tpu runs.
+
+Mirrors the reference argparse schema (reference: utils/args.py:5-67) plus the
+JSON-config overlay mechanism (reference: main.py:30-32), re-expressed as a
+dataclass so configs are typed, serializable, and hashable for jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class TKGConfig:
+    # -- data ---------------------------------------------------------------
+    # reference: utils/args.py:7-8
+    dataset_dir: str = "interpolation"
+    dataset: str = "icews14"
+    data_root: str = "/root/reference"  # where interpolation/<ds>/ lives
+
+    # -- model selection ----------------------------------------------------
+    # reference: utils/args.py:9-10 (--score-function, --module)
+    score_function: str = "complex"  # complex | distmult | transE | simple
+    module: str = "GRRGCN"
+
+    # -- sizes --------------------------------------------------------------
+    # reference: utils/args.py:13-14,24,28-31
+    hidden_size: int = 128
+    embed_size: int = 128
+    num_layers: int = 1          # GRU stacking depth
+    n_bases: int = 128           # block-diagonal blocks per relation matrix
+    rgcn_layers: int = 2
+    train_seq_len: int = 15
+    test_seq_len: int = 30       # note: recurrent models override to train_seq_len
+                                 # (reference: models/DynamicRGCN.py:18)
+
+    # -- optimization -------------------------------------------------------
+    # reference: utils/args.py:15,17,25-27,32-35; models/TKG_Module.py:159
+    max_nb_epochs: int = 1000
+    dropout: float = 0.1
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    gradient_clip_val: float = 1.0
+    patience: int = 10
+    batch_size: int = 8
+    seed: int = 123
+    negative_rate: int = 500     # configs use 500 (grid/*/config_*.json)
+    num_pos_facts: int = 3000
+
+    # -- model behavior flags ----------------------------------------------
+    # reference: utils/args.py:38-50
+    rec_only_last_layer: bool = False
+    use_time_embedding: bool = False
+    inv_temperature: float = 0.1
+    use_embed_for_non_active: bool = False
+    edge_dropout: bool = False   # frequency-driven DropEdge
+    random_dropout: bool = False # random edge subsample of history snapshots
+    type1: bool = False          # nonstandard GRU cell (models/GRU_cell.py)
+    post_ensemble: bool = False  # score-level TED gating
+    post_aggregation: bool = False  # embedding-level gating
+    learnable_lambda: bool = False
+    impute: bool = False
+    ema: bool = False            # EMA alternative for attention models
+
+    # -- DropEdge params ----------------------------------------------------
+    # reference: utils/args.py:19-23
+    rate_lower: float = 0.2
+    rate_upper: float = 0.8
+    lambda_1: float = 2.0
+    lambda_2: float = 10.0
+    lambda_3: float = 20.0
+
+    # -- padding / bucketing (new: static-shape controls, no reference
+    #    equivalent since DGL uses dynamic shapes) --------------------------
+    edge_pad_multiple: int = 128   # pad per-snapshot edge buckets to this
+    query_pad_multiple: int = 128  # pad eval query counts to this
+    neg_oversample: int = 64       # extra uniform draws for rejection sampling
+
+    # -- precision ----------------------------------------------------------
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 on TPU for the hot path
+
+    # -- run control --------------------------------------------------------
+    # reference: utils/args.py:36-39,56-58
+    debug: bool = False
+    fast_dev_run: bool = False
+    resume: bool = False
+    model_name: Optional[str] = None
+    version: Optional[str] = None
+    checkpoint_path: Optional[str] = None
+    experiments_dir: str = "experiments"
+
+    # -- aggregator (two-checkpoint ensemble) -------------------------------
+    # reference: utils/args.py:63-65
+    spatial_checkpoint: Optional[str] = None
+    temporal_checkpoint: Optional[str] = None
+    temporal_module: str = "BiGRRGCN"
+
+    # -- greedy classifier / analysis flags ---------------------------------
+    # reference: utils/args.py:52-55
+    vote: str = "recency"
+    future: bool = False
+    filtered: bool = False
+
+    # -- parallelism (new; reference only had DDP: utils/args.py:12) --------
+    dp_size: int = 1       # data-parallel size over target-time batches
+    mp_size: int = 1       # model axis: entity/edge partitioning
+
+    @property
+    def dataset_path(self) -> str:
+        return os.path.join(self.data_root, self.dataset_dir, self.dataset)
+
+    def replace(self, **kw) -> "TKGConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides) -> "TKGConfig":
+        """Build a config from a reference-style JSON config file.
+
+        Accepts both this package's field names and the reference grid
+        config key style (reference: grid/icews14/config_grrgcn.json), which
+        uses snake_case keys matching argparse dests.
+        """
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_dict(raw, **overrides)
+
+    @classmethod
+    def from_dict(cls, raw: dict, **overrides) -> "TKGConfig":
+        alias = {"EMA": "ema"}
+        known = {f.name for f in dataclasses.field_defaults(cls)} if False else {
+            f.name for f in dataclasses.fields(cls)
+        }
+        kw = {}
+        for k, v in raw.items():
+            k = alias.get(k, k.replace("-", "_"))
+            if k in known:
+                kw[k] = v
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def encode_run_name(cfg: TKGConfig) -> str:
+    """Experiment name encoding the key hyperparameters.
+
+    Mirrors the reference TestTube experiment naming (reference: main.py:92-103)
+    so runs are self-describing on disk.
+    """
+    parts = [
+        cfg.module,
+        cfg.dataset.replace("/", "-"),
+        cfg.score_function,
+        f"seq{cfg.train_seq_len}",
+        f"d{cfg.embed_size}",
+        f"b{cfg.n_bases}",
+        f"neg{cfg.negative_rate}",
+        f"lr{cfg.lr}",
+    ]
+    for flag, tag in [
+        (cfg.rec_only_last_layer, "reclast"),
+        (cfg.use_time_embedding, "temb"),
+        (cfg.post_ensemble, "postens"),
+        (cfg.post_aggregation, "postagg"),
+        (cfg.impute, "impute"),
+        (cfg.learnable_lambda, "learnlam"),
+        (cfg.edge_dropout, "dropedge"),
+        (cfg.random_dropout, "rnddrop"),
+        (cfg.type1, "type1"),
+        (cfg.ema, "ema"),
+    ]:
+        if flag:
+            parts.append(tag)
+    return "-".join(parts)

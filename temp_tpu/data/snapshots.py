@@ -1,0 +1,305 @@
+"""Static-shape snapshot arrays: the TPU-native replacement for DGL graph dicts.
+
+The reference builds, per timestamp, three DGL graphs (train/val/test) over a
+shared compacted local node index with pickle caching
+(reference: utils/dataset.py:151-232,268-305). That representation exists to
+serve DGL's dynamic-shape CUDA kernels; on TPU it would force host-side graph
+surgery and defeat XLA compilation.
+
+Here instead every snapshot is a fixed-width padded edge list in *global*
+entity ids:
+
+- ``src/rel/dst[T, E_pad]`` int32 + ``emask[T, E_pad]`` — per-split edges,
+- ``active[T, N]`` bool — entities touched by any train/val/test fact at t
+  (the reference's shared per-time node set, utils/dataset.py:168),
+- per-time sorted (group, value) **filter tables** for true-head/true-tail
+  lookup, replacing the reference's Python dicts
+  (utils/CorrptTriples.py:87-106, utils/evaluation.py:16-32) with arrays a
+  vectorized binary search can consume on device.
+
+The whole dataset fits in a few MB of device memory, so training steps take
+only target-time indices as input — no host<->device graph transfer at all
+(the reference pays `move_dgl_to_cuda` per step, utils/utils.py:9-11).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+try:
+    from flax import struct
+except ImportError:  # pragma: no cover
+    struct = None
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.quadruples import load_quadruples, load_stat
+
+INT_PAD = np.iinfo(np.int32).max
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@struct.dataclass
+class SplitEdges:
+    """Per-timestamp padded edge lists for one split."""
+
+    src: Any   # [T, E_pad] int32 global entity ids (0 where padded)
+    rel: Any   # [T, E_pad] int32 relation ids in [0, num_rels)
+    dst: Any   # [T, E_pad] int32 global entity ids
+    emask: Any  # [T, E_pad] bool: True for real edges
+    n_edges: Any  # [T] int32
+
+
+@struct.dataclass
+class FilterTable:
+    """Per-timestamp sorted (group, value) pairs for membership queries.
+
+    For tail queries: group = head * (2*num_rels) + rel, value = tail
+    (reference true_tails dict keyed by (h, r): utils/CorrptTriples.py:93-95).
+    For head queries: group = tail * (2*num_rels) + rel, value = head
+    (reference true_heads keyed by (r, t): utils/CorrptTriples.py:96-98).
+    Rows are sorted lexicographically by (group, value); padding is INT32_MAX
+    so padded slots sort last and never match.
+    """
+
+    grp: Any  # [T, F_pad] int32
+    val: Any  # [T, F_pad] int32
+
+
+@struct.dataclass
+class TKGData:
+    """Device-resident dataset: every array indexed by time position 0..T-1."""
+
+    train: SplitEdges
+    valid: SplitEdges
+    test: SplitEdges
+    active: Any       # [T, N] bool — entity appears in any split at t
+    times: Any        # [T] int32 raw time values (sorted)
+    # filter tables
+    train_tail: FilterTable  # true tails among train facts (negative sampling)
+    train_head: FilterTable
+    total_tail: FilterTable  # true tails among train+valid+test (eval filter)
+    total_head: FilterTable
+
+    num_ents: int = struct.field(pytree_node=False, default=0)
+    num_rels: int = struct.field(pytree_node=False, default=0)
+    num_times: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def group_stride(self) -> int:
+        return 2 * self.num_rels
+
+
+def _split_edges(quads: np.ndarray, times: np.ndarray, e_pad: int) -> SplitEdges:
+    T = len(times)
+    src = np.zeros((T, e_pad), np.int32)
+    rel = np.zeros((T, e_pad), np.int32)
+    dst = np.zeros((T, e_pad), np.int32)
+    emask = np.zeros((T, e_pad), bool)
+    n_edges = np.zeros((T,), np.int32)
+    time_to_pos = {t: i for i, t in enumerate(times)}
+    order = np.argsort(quads[:, 3], kind="stable")
+    quads = quads[order]
+    bounds = np.searchsorted(quads[:, 3], times)
+    bounds = np.append(bounds, len(quads))
+    for i in range(T):
+        rows = quads[bounds[i]:bounds[i + 1]]
+        k = len(rows)
+        assert k <= e_pad, (k, e_pad)
+        src[i, :k] = rows[:, 0]
+        rel[i, :k] = rows[:, 1]
+        dst[i, :k] = rows[:, 2]
+        emask[i, :k] = True
+        n_edges[i] = k
+    del time_to_pos
+    return SplitEdges(src=src, rel=rel, dst=dst, emask=emask, n_edges=n_edges)
+
+
+def _filter_tables(
+    quads: np.ndarray, times: np.ndarray, num_rels: int, pad_mult: int
+) -> Tuple[FilterTable, FilterTable]:
+    """Build (tail_table, head_table) of deduped sorted per-time pairs."""
+    T = len(times)
+    r2 = 2 * num_rels
+    per_time_tail = []
+    per_time_head = []
+    order = np.argsort(quads[:, 3], kind="stable")
+    quads = quads[order]
+    bounds = np.searchsorted(quads[:, 3], times)
+    bounds = np.append(bounds, len(quads))
+    max_f = 0
+    for i in range(T):
+        rows = quads[bounds[i]:bounds[i + 1]]
+        tg = rows[:, 0].astype(np.int64) * r2 + rows[:, 1]
+        tv = rows[:, 2].astype(np.int64)
+        hg = rows[:, 2].astype(np.int64) * r2 + rows[:, 1]
+        hv = rows[:, 0].astype(np.int64)
+        tail_pairs = np.unique(np.stack([tg, tv], 1), axis=0) if len(rows) else np.zeros((0, 2), np.int64)
+        head_pairs = np.unique(np.stack([hg, hv], 1), axis=0) if len(rows) else np.zeros((0, 2), np.int64)
+        per_time_tail.append(tail_pairs)
+        per_time_head.append(head_pairs)
+        max_f = max(max_f, len(tail_pairs), len(head_pairs))
+    f_pad = _round_up(max_f, pad_mult)
+
+    def pack(per_time):
+        grp = np.full((T, f_pad), INT_PAD, np.int32)
+        val = np.full((T, f_pad), INT_PAD, np.int32)
+        for i, pairs in enumerate(per_time):
+            k = len(pairs)
+            grp[i, :k] = pairs[:, 0]
+            val[i, :k] = pairs[:, 1]
+        return FilterTable(grp=grp, val=val)
+
+    return pack(per_time_tail), pack(per_time_head)
+
+
+def build_tkg_data_from_quads(
+    train_q: np.ndarray,
+    valid_q: np.ndarray,
+    test_q: np.ndarray,
+    num_ents: int,
+    num_rels: int,
+    edge_pad_multiple: int = 128,
+) -> TKGData:
+    """Assemble TKGData from raw quadruple arrays (host-side numpy)."""
+    total_q = np.concatenate([train_q, valid_q, test_q], axis=0)
+    times = np.unique(total_q[:, 3])
+    T = len(times)
+
+    def count_max(quads):
+        if len(quads) == 0:
+            return 0
+        _, counts = np.unique(quads[:, 3], return_counts=True)
+        return int(counts.max())
+
+    e_pad_train = _round_up(count_max(train_q), edge_pad_multiple)
+    e_pad_eval = _round_up(max(count_max(valid_q), count_max(test_q), 1), edge_pad_multiple)
+
+    train = _split_edges(train_q, times, e_pad_train)
+    valid = _split_edges(valid_q, times, e_pad_eval)
+    test = _split_edges(test_q, times, e_pad_eval)
+
+    active = np.zeros((T, num_ents), bool)
+    order = np.argsort(total_q[:, 3], kind="stable")
+    tq = total_q[order]
+    bounds = np.searchsorted(tq[:, 3], times)
+    bounds = np.append(bounds, len(tq))
+    for i in range(T):
+        rows = tq[bounds[i]:bounds[i + 1]]
+        active[i, rows[:, 0]] = True
+        active[i, rows[:, 2]] = True
+
+    train_tail, train_head = _filter_tables(train_q, times, num_rels, edge_pad_multiple)
+    total_tail, total_head = _filter_tables(total_q, times, num_rels, edge_pad_multiple)
+
+    return TKGData(
+        train=train,
+        valid=valid,
+        test=test,
+        active=active,
+        times=times.astype(np.int32),
+        train_tail=train_tail,
+        train_head=train_head,
+        total_tail=total_tail,
+        total_head=total_head,
+        num_ents=num_ents,
+        num_rels=num_rels,
+        num_times=T,
+    )
+
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".data_cache")
+
+
+def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
+    """Load a dataset directory into TKGData, with an npz cache.
+
+    Replaces the reference's per-split DGL pickle cache
+    (utils/dataset.py:268-305) with a single npz of padded arrays.
+    """
+    path = cfg.dataset_path
+    num_ents, num_rels, _ = load_stat(path)
+    key = hashlib.md5(
+        f"{path}:{cfg.edge_pad_multiple}:v1".encode()
+    ).hexdigest()[:16]
+    cache_file = os.path.join(_CACHE_DIR, f"tkg_{os.path.basename(path)}_{key}.npz")
+    if cache and os.path.exists(cache_file):
+        z = np.load(cache_file)
+        return _from_npz(z, num_ents, num_rels)
+
+    train_q, _ = load_quadruples(path, "train.txt")
+    valid_q, _ = load_quadruples(path, "valid.txt")
+    test_q, _ = load_quadruples(path, "test.txt")
+    data = build_tkg_data_from_quads(
+        train_q, valid_q, test_q, num_ents, num_rels, cfg.edge_pad_multiple
+    )
+    if cache:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez_compressed(cache_file, **_to_npz(data))
+    return data
+
+
+def _to_npz(d: TKGData) -> Dict[str, np.ndarray]:
+    out = {"times": d.times, "active": d.active, "num_times": np.int64(d.num_times)}
+    for name in ("train", "valid", "test"):
+        s: SplitEdges = getattr(d, name)
+        for f in ("src", "rel", "dst", "emask", "n_edges"):
+            out[f"{name}_{f}"] = np.asarray(getattr(s, f))
+    for name in ("train_tail", "train_head", "total_tail", "total_head"):
+        t: FilterTable = getattr(d, name)
+        out[f"{name}_grp"] = np.asarray(t.grp)
+        out[f"{name}_val"] = np.asarray(t.val)
+    return out
+
+
+def _from_npz(z, num_ents: int, num_rels: int) -> TKGData:
+    def split(name):
+        return SplitEdges(
+            src=z[f"{name}_src"], rel=z[f"{name}_rel"], dst=z[f"{name}_dst"],
+            emask=z[f"{name}_emask"], n_edges=z[f"{name}_n_edges"],
+        )
+
+    def table(name):
+        return FilterTable(grp=z[f"{name}_grp"], val=z[f"{name}_val"])
+
+    return TKGData(
+        train=split("train"), valid=split("valid"), test=split("test"),
+        active=z["active"], times=z["times"],
+        train_tail=table("train_tail"), train_head=table("train_head"),
+        total_tail=table("total_tail"), total_head=table("total_head"),
+        num_ents=num_ents, num_rels=num_rels, num_times=int(z["num_times"]),
+    )
+
+
+def make_synthetic(
+    num_ents: int = 40,
+    num_rels: int = 5,
+    num_times: int = 12,
+    edges_per_time: int = 30,
+    seed: int = 0,
+    edge_pad_multiple: int = 16,
+) -> TKGData:
+    """Small random TKG for tests (the reference has no test fixtures at all;
+    see SURVEY.md §4)."""
+    rng = np.random.RandomState(seed)
+
+    def sample(n):
+        h = rng.randint(0, num_ents, n)
+        r = rng.randint(0, num_rels, n)
+        t = rng.randint(0, num_ents, n)
+        tm = np.repeat(np.arange(num_times), n // num_times)
+        tm = np.concatenate([tm, rng.randint(0, num_times, n - len(tm))])
+        return np.stack([h, r, t, tm], 1).astype(np.int64)
+
+    train_q = sample(edges_per_time * num_times)
+    valid_q = sample(edges_per_time * num_times // 4)
+    test_q = sample(edges_per_time * num_times // 4)
+    return build_tkg_data_from_quads(
+        train_q, valid_q, test_q, num_ents, num_rels, edge_pad_multiple
+    )

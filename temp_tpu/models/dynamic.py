@@ -1,0 +1,216 @@
+"""DynamicRGCN: the canonical unidirectional recurrent pipeline (GRRGCN/RRGCN).
+
+Reference: models/DynamicRGCN.py. The reference iterates the history window in
+a Python loop, scatter/gathering compacted per-graph embeddings into dense
+[bsz, 2, N, d] history tables (DynamicRGCN.py:35-54,156-174). Here the whole
+window is a `lax.scan` whose carry IS that history (hist1, hist2, last_pos) in
+global-id space, vmapped over the batch of target times; there is no
+local<->global remapping anywhere.
+
+The final-snapshot pass produces one dense [N, d] table that simultaneously
+equals the reference's per-graph "convoluted" embeddings (active rows) and
+`get_all_embeds_Gt`'s isolated-path rows (inactive rows) — see
+models/layers.py docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import TKGData
+from temp_tpu.models.encoders import (
+    encoder_forward, init_encoder, make_layer_cfgs,
+)
+from temp_tpu.models.layers import RELU_GAIN, Snapshot, xavier_uniform
+from temp_tpu.models.objectives import eval_ranks_single, train_loss_single
+from temp_tpu.ops.sampling import subsample_edges
+from temp_tpu.ops.scores import get_score_fn
+
+
+class WindowSlice(NamedTuple):
+    """Stacked window of L snapshots for one batch element."""
+
+    src: jnp.ndarray     # [L, E]
+    rel: jnp.ndarray     # [L, E]
+    dst: jnp.ndarray     # [L, E]
+    emask: jnp.ndarray   # [L, E]
+    t_idx: jnp.ndarray   # [L] time position (clipped)
+    valid: jnp.ndarray   # [L] bool
+    active: jnp.ndarray  # [L, N]
+
+
+def gather_window(data: TKGData, t_pos: jnp.ndarray, length: int,
+                  backward: bool = False) -> WindowSlice:
+    """Positions [t-L+1 .. t] (forward) or [t+L-1 .. t] (backward), i.e. the
+    window always ENDS at the target snapshot (TKG_Module.py:232-250;
+    backward list construction BiDynamicRGCN.py:36-41)."""
+    offs = jnp.arange(length, dtype=jnp.int32)
+    if backward:
+        wpos = t_pos + (length - 1) - offs
+        valid = wpos <= data.num_times - 1
+    else:
+        wpos = t_pos - (length - 1) + offs
+        valid = wpos >= 0
+    safe = jnp.clip(wpos, 0, data.num_times - 1)
+    tr = data.train
+    return WindowSlice(
+        src=tr.src[safe], rel=tr.rel[safe], dst=tr.dst[safe],
+        emask=tr.emask[safe] & valid[:, None],
+        t_idx=safe, valid=valid,
+        active=data.active[safe] & valid[:, None],
+    )
+
+
+class DynamicRGCNModel:
+    """GRRGCN / RRGCN (reference models/DynamicRGCN.py:14-220)."""
+
+    def __init__(self, cfg: TKGConfig, data: TKGData):
+        self.cfg = cfg
+        self.num_ents = data.num_ents
+        self.num_rels = data.num_rels
+        self.num_times = data.num_times
+        self.lc1, self.lc2 = make_layer_cfgs(cfg, data.num_rels, data.num_times)
+        self.train_len = cfg.train_seq_len
+        # recurrent models evaluate with the SAME window length as training
+        # (reference models/DynamicRGCN.py:18: test_seq_len = train_seq_len)
+        self.eval_len = cfg.train_seq_len
+        self.score_all, self.score_single = get_score_fn(cfg.score_function)
+
+    # -- parameters ---------------------------------------------------------
+
+    def init_params(self, key) -> Dict[str, Any]:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            # DynamicRGCN.py:21-30
+            "ent_embeds": xavier_uniform(k1, (self.num_ents, self.cfg.embed_size), RELU_GAIN),
+            "rel_embeds": xavier_uniform(k2, (2 * self.num_rels, self.cfg.embed_size), RELU_GAIN),
+            "encoder": init_encoder(k3, self.cfg, self.num_rels, self.num_times),
+        }
+
+    # -- forward ------------------------------------------------------------
+
+    def _encoder_step(self, params, h0, snap: Snapshot, hist1, hist2, dt,
+                      train: bool, rng):
+        return encoder_forward(
+            params["encoder"], self.cfg, self.lc1, self.lc2,
+            h0, snap, hist1, hist2, dt, train, rng,
+        )
+
+    def pre_forward(self, params, win: WindowSlice, length: int,
+                    train: bool, rng):
+        """Scan the first length-1 window snapshots, accumulating history
+        (reference pre_forward, DynamicRGCN.py:156-174)."""
+        cfg = self.cfg
+        N, d = self.num_ents, cfg.embed_size
+        ent = params["ent_embeds"]
+        hist1 = jnp.zeros((N, d))
+        hist2 = jnp.zeros((N, d))
+        last_pos = jnp.zeros((N,), jnp.float32)
+
+        use_dropout = train and cfg.random_dropout
+
+        def step(carry, xs):
+            hist1, hist2, last_pos = carry
+            pos, snap_arrays, step_key = xs
+            emask = snap_arrays["emask"]
+            if use_dropout:
+                k_drop, step_key = jax.random.split(step_key)
+                emask = subsample_edges(k_drop, emask, 0.8)  # DynamicRGCN.py:172 rate=0.8
+            snap = Snapshot(
+                src=snap_arrays["src"], dst=snap_arrays["dst"],
+                rel=snap_arrays["rel"], emask=emask,
+                t_idx=snap_arrays["t_idx"], valid=snap_arrays["valid"],
+                active=snap_arrays["active"],
+            )
+            dt = pos.astype(jnp.float32) - last_pos
+            out1, out2, _ = self._encoder_step(
+                params, ent, snap, hist1, hist2, dt, train, step_key)
+            upd = (snap.active & snap.valid)[:, None]
+            hist1 = jnp.where(upd, out1, hist1)
+            hist2 = jnp.where(upd, out2, hist2)
+            last_pos = jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos)
+            return (hist1, hist2, last_pos), None
+
+        L1 = length - 1
+        xs = (
+            jnp.arange(L1, dtype=jnp.int32),
+            {
+                "src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
+                "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
+                "valid": win.valid[:L1], "active": win.active[:L1],
+            },
+            jax.random.split(rng, L1),
+        )
+        (hist1, hist2, last_pos), _ = jax.lax.scan(step, (hist1, hist2, last_pos), xs)
+        return hist1, hist2, last_pos
+
+    def forward_element(self, params, data: TKGData, t_pos, train: bool, rng):
+        """Full forward for one target time -> dense [N, d] entity table."""
+        cfg = self.cfg
+        length = self.train_len if train else self.eval_len
+        win = gather_window(data, t_pos, length)
+        k_pre, k_fin, k_sub = jax.random.split(rng, 3)
+        hist1, hist2, last_pos = self.pre_forward(params, win, length, train, k_pre)
+
+        emask = win.emask[length - 1]
+        if train:
+            # final snapshot trains on a 50% random edge subsample
+            # (DynamicRGCN.py:184 full=False -> rate 0.5)
+            emask = subsample_edges(k_sub, emask, 0.5)
+        snap = Snapshot(
+            src=win.src[length - 1], dst=win.dst[length - 1], rel=win.rel[length - 1],
+            emask=emask, t_idx=win.t_idx[length - 1], valid=win.valid[length - 1],
+            active=win.active[length - 1],
+        )
+        dt = (length - 1) - last_pos
+        _, out2, _ = self._encoder_step(
+            params, params["ent_embeds"], snap, hist1, hist2, dt, train, k_fin)
+        if cfg.use_embed_for_non_active:
+            # DynamicRGCN.py:58-59
+            out2 = jnp.where(snap.active[:, None], out2, params["ent_embeds"])
+        return out2
+
+    # -- objectives ---------------------------------------------------------
+
+    def loss(self, params, data: TKGData, t_pos, t_valid, rng):
+        """Summed tail+head CE over the batch (DynamicRGCN.py:176-194)."""
+        B = t_pos.shape[0]
+        rngs = jax.random.split(rng, B)
+
+        def one(tp, tv, r):
+            r_fwd, r_loss = jax.random.split(r)
+            table = self.forward_element(params, data, tp, True, r_fwd)
+            tr = data.train
+            loss = train_loss_single(
+                self.cfg, data, self.score_all, params["rel_embeds"], table,
+                tp, tr.src[tp], tr.rel[tp], tr.dst[tp], tr.emask[tp], r_loss,
+            )
+            return loss * tv.astype(loss.dtype)
+
+        losses = jax.vmap(one)(t_pos, t_valid, rngs)
+        return jnp.sum(losses)
+
+    def eval_ranks(self, params, data: TKGData, t_pos, t_valid, split: str):
+        """Filtered ranks for a batch of target times (DynamicRGCN.py:118-144,
+        196-220). Returns (ranks [B, 2Q], mask [B, 2Q], mean bce loss)."""
+        edges = {"valid": data.valid, "test": data.test}[split]
+        B = t_pos.shape[0]
+        rng = jax.random.PRNGKey(0)  # eval is deterministic; key unused paths
+
+        def one(tp, tv):
+            table = self.forward_element(params, data, tp, False, rng)
+            ranks, mask, bce = eval_ranks_single(
+                self.cfg, data, self.score_all, self.score_single,
+                params["rel_embeds"], table, tp,
+                edges.src[tp], edges.rel[tp], edges.dst[tp], edges.emask[tp],
+            )
+            return ranks, mask & tv, bce
+
+        ranks, mask, bces = jax.vmap(one)(t_pos, t_valid)
+        has_q = jnp.sum(mask, axis=1) > 0
+        mean_bce = jnp.sum(bces * has_q) / jnp.maximum(jnp.sum(has_q), 1)
+        return ranks, mask, mean_bce

@@ -1,0 +1,123 @@
+"""Shared training loss and filtered-evaluation objectives.
+
+Implements the reference's link-prediction training loss — cross-entropy over
+[1 + negative_rate] candidates with the positive at index 0, summed over tail
+and head corruption (models/TKG_Module.py:202-213) — and the filtered-ranking
+evaluation protocol (utils/evaluation.py:34-106), both as dense static-shape
+device computations over a [N, d] entity table.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import TKGData
+from temp_tpu.ops.ranking import filtered_ranks
+from temp_tpu.ops.sampling import draw_negatives, subsample_positives
+from temp_tpu.ops.scores import score_candidates_all
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
+    return jnp.sum(x * mask.astype(x.dtype)) / cnt
+
+
+def train_loss_single(
+    cfg: TKGConfig,
+    data: TKGData,
+    score_all_fn,
+    rel_embeds: jnp.ndarray,   # [2R, d]
+    table: jnp.ndarray,        # [N, d] final entity table (all_embeds_g)
+    t_pos: jnp.ndarray,        # scalar int32 time position
+    src: jnp.ndarray, rel: jnp.ndarray, dst: jnp.ndarray, emask: jnp.ndarray,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Tail+head CE loss for one target snapshot (TKG_Module.py:202-213,
+    DynamicRGCN.py:186-193). Positives are the FULL train edge set at t
+    subsampled to num_pos_facts (CorrptTriples.py:37-40)."""
+    r2 = 2 * data.num_rels
+    k_pos, k_tail, k_head = jax.random.split(rng, 3)
+    pos_mask = subsample_positives(k_pos, emask, cfg.num_pos_facts)
+
+    r_emb = rel_embeds[rel]
+
+    # tail corruption: exclude true tails among TRAIN facts at t
+    grp_tail = src * r2 + rel
+    cand_tail = draw_negatives(
+        k_tail, data.train_tail.grp[t_pos], data.train_tail.val[t_pos],
+        grp_tail, dst, data.num_ents, cfg.negative_rate, cfg.neg_oversample,
+    )
+    sc_tail = score_candidates_all(score_all_fn, table[src], r_emb, table, cand_tail, "tail")
+    ce_tail = -jax.nn.log_softmax(sc_tail, axis=-1)[:, 0]
+
+    # head corruption
+    grp_head = dst * r2 + rel
+    cand_head = draw_negatives(
+        k_head, data.train_head.grp[t_pos], data.train_head.val[t_pos],
+        grp_head, src, data.num_ents, cfg.negative_rate, cfg.neg_oversample,
+    )
+    sc_head = score_candidates_all(score_all_fn, table[dst], r_emb, table, cand_head, "head")
+    ce_head = -jax.nn.log_softmax(sc_head, axis=-1)[:, 0]
+
+    return _masked_mean(ce_tail, pos_mask) + _masked_mean(ce_head, pos_mask)
+
+
+def eval_ranks_single(
+    cfg: TKGConfig,
+    data: TKGData,
+    score_all_fn,
+    score_single_fn,
+    rel_embeds: jnp.ndarray,
+    table: jnp.ndarray,        # [N, d]
+    t_pos: jnp.ndarray,
+    src: jnp.ndarray, rel: jnp.ndarray, dst: jnp.ndarray, qmask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Filtered ranks for one eval snapshot, both directions.
+
+    Returns (ranks [2*Q], mask [2*Q], bce_loss scalar). Rank layout is
+    [head-ranks, tail-ranks] like the reference's cat([ranks_s, ranks_o])
+    (utils/evaluation.py:48).
+    """
+    r2 = 2 * data.num_rels
+    r_emb = rel_embeds[rel]
+
+    sc_tail = score_all_fn(table[src], r_emb, table, "tail")   # [Q, N]
+    ranks_tail = filtered_ranks(
+        sc_tail, dst, data.total_tail.grp[t_pos], data.total_tail.val[t_pos],
+        src * r2 + rel,
+    )
+    sc_head = score_all_fn(table[dst], r_emb, table, "head")
+    ranks_head = filtered_ranks(
+        sc_head, src, data.total_head.grp[t_pos], data.total_head.val[t_pos],
+        dst * r2 + rel,
+    )
+    # eval loss: BCE-with-logits on positives with label 1
+    # (TKG_Module.py:215-223, DynamicRGCN.py:211)
+    pos_score = score_single_fn(table[src], r_emb, table[dst])
+    bce = _masked_mean(jax.nn.softplus(-pos_score), qmask)
+
+    ranks = jnp.concatenate([ranks_head, ranks_tail])
+    mask = jnp.concatenate([qmask, qmask])
+    return ranks, mask, bce
+
+
+def metrics_from_ranks(ranks, mask) -> dict:
+    """MRR / Hits@1/3/10 (models/TKG_Module.py:147-152)."""
+    import numpy as np
+
+    ranks = np.asarray(ranks).reshape(-1)
+    mask = np.asarray(mask).reshape(-1).astype(bool)
+    r = ranks[mask].astype(np.float64)
+    if r.size == 0:
+        return {"mrr": 0.0, "hit_1": 0.0, "hit_3": 0.0, "hit_10": 0.0, "n": 0}
+    return {
+        "mrr": float(np.mean(1.0 / r)),
+        "hit_1": float(np.mean(r <= 1)),
+        "hit_3": float(np.mean(r <= 3)),
+        "hit_10": float(np.mean(r <= 10)),
+        "n": int(r.size),
+    }

@@ -1,0 +1,47 @@
+"""Model selection: --module string + behavior flags -> model class.
+
+Mirrors the reference's two-stage dispatch (main.py:42-79): a base module map
+plus flag-driven remapping to Impute/Post/Ensemble variants. Here the flag
+variants are behavior switches on the same classes, so the registry only
+validates flag/module compatibility.
+"""
+
+from __future__ import annotations
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import TKGData
+
+
+def get_model(cfg: TKGConfig, data: TKGData):
+    module = cfg.module
+    if module in ("GRRGCN", "RRGCN"):
+        if cfg.post_ensemble or cfg.post_aggregation or cfg.impute:
+            from temp_tpu.models.post import PostDynamicRGCNModel
+            return PostDynamicRGCNModel(cfg, data)
+        from temp_tpu.models.dynamic import DynamicRGCNModel
+        return DynamicRGCNModel(cfg, data)
+    if module in ("BiGRRGCN", "BiRRGCN"):
+        if cfg.post_ensemble or cfg.post_aggregation or cfg.impute:
+            from temp_tpu.models.post import PostBiDynamicRGCNModel
+            return PostBiDynamicRGCNModel(cfg, data)
+        from temp_tpu.models.bidynamic import BiDynamicRGCNModel
+        return BiDynamicRGCNModel(cfg, data)
+    if module == "SARGCN":
+        from temp_tpu.models.selfattn import SelfAttentionRGCNModel
+        return SelfAttentionRGCNModel(cfg, data)
+    if module == "BiSARGCN":
+        from temp_tpu.models.selfattn import BiSelfAttentionRGCNModel
+        return BiSelfAttentionRGCNModel(cfg, data)
+    if module == "SRGCN":
+        from temp_tpu.models.static import StaticRGCNModel
+        return StaticRGCNModel(cfg, data)
+    if module in ("Static", "DE", "Hyte", "SimplE", "ATiSE"):
+        from temp_tpu.models.baselines import get_baseline
+        return get_baseline(cfg, data)
+    if module == "Aggregator":
+        from temp_tpu.models.aggregator import AggregatorModel
+        return AggregatorModel(cfg, data)
+    if module == "TimeDynamicRGCN":
+        from temp_tpu.models.timedynamic import TimeDynamicRGCNModel
+        return TimeDynamicRGCNModel(cfg, data)
+    raise ValueError(f"unknown module: {module}")

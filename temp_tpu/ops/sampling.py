@@ -1,0 +1,77 @@
+"""Device-side negative sampling and edge subsampling.
+
+Replaces the reference's host-side NumPy rejection loop
+(utils/CorrptTriples.py:36-85) with static-shape device sampling:
+
+- draw K + oversample uniform entity ids per positive,
+- mark draws that are true answers at this timestamp (train-facts filter,
+  matching the reference's `true_tails_train` exclusion),
+- stable-sort invalid draws to the back and keep the first K valid in draw
+  order — exactly the reference's "concatenate batches of accepted samples,
+  truncate to K" semantics, without dynamic shapes.
+
+With K=500 draws over N>=500 entities and only a handful of true answers per
+(h, r), the probability that fewer than K of K+64 draws are valid is
+astronomically small; a final clamp keeps the shape static regardless.
+
+Edge subsampling replicates `np.random.choice(size=rate*E, replace=False)`
+(models/DynamicRGCN.py:76-94) as an exact-count top-k of random keys.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from temp_tpu.ops.membership import lex_member
+
+
+def draw_negatives(
+    rng: jax.Array,
+    grp_sorted: jnp.ndarray,   # [F] per-time sorted filter groups (train facts)
+    val_sorted: jnp.ndarray,   # [F]
+    q_grp: jnp.ndarray,        # [P] query group key (h*2R+r for tail corruption)
+    pos: jnp.ndarray,          # [P] positive entity global id (column 0)
+    num_ents: int,
+    negative_rate: int,
+    oversample: int = 64,
+) -> jnp.ndarray:
+    """Return [P, 1 + negative_rate] candidate ids; col 0 is the positive."""
+    P = q_grp.shape[0]
+    k_extra = negative_rate + oversample
+    draws = jax.random.randint(rng, (P, k_extra), 0, num_ents, dtype=jnp.int32)
+    is_true = lex_member(grp_sorted, val_sorted, q_grp[:, None], draws)
+    # stable argsort: valid draws keep their draw order, invalid go last
+    order = jnp.argsort(is_true.astype(jnp.int32), axis=1, stable=True)
+    neg = jnp.take_along_axis(draws, order[:, :negative_rate], axis=1)
+    return jnp.concatenate([pos[:, None].astype(jnp.int32), neg], axis=1)
+
+
+def subsample_edges(rng: jax.Array, emask: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Keep exactly floor(rate * n_valid) edges, uniformly without replacement.
+
+    Matches reference models/DynamicRGCN.py:83 `np.random.choice(...,
+    size=int(rate*E), replace=False)`. Returns the new bool mask.
+    """
+    E = emask.shape[0]
+    keys = jax.random.uniform(rng, (E,))
+    keys = jnp.where(emask, keys, 2.0)           # padding sorts last
+    order = jnp.argsort(keys)                    # ascending: random valid first
+    n_valid = jnp.sum(emask.astype(jnp.int32))
+    n_keep = (rate * n_valid.astype(jnp.float32)).astype(jnp.int32)
+    ranks = jnp.zeros((E,), jnp.int32).at[order].set(jnp.arange(E, dtype=jnp.int32))
+    return emask & (ranks < n_keep)
+
+
+def subsample_positives(rng: jax.Array, emask: jnp.ndarray, max_facts: int) -> jnp.ndarray:
+    """Random subset of at most `max_facts` positives for the loss.
+
+    Matches reference utils/CorrptTriples.py:37-40 (randperm -> first
+    num_pos_facts). Returns bool mask over the padded edge slots.
+    """
+    E = emask.shape[0]
+    keys = jax.random.uniform(rng, (E,))
+    keys = jnp.where(emask, keys, 2.0)
+    order = jnp.argsort(keys)
+    ranks = jnp.zeros((E,), jnp.int32).at[order].set(jnp.arange(E, dtype=jnp.int32))
+    return emask & (ranks < max_facts)

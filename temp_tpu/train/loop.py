@@ -1,0 +1,192 @@
+"""Training loop: epochs over shuffled target times, early stopping on val MRR,
+best-checkpoint saving, metric logging.
+
+Replaces the pytorch-lightning Trainer wiring of the reference
+(main.py:82-139; models/TKG_Module.py:43-131 step hooks;
+EarlyStopping(monitor='mrr', mode='max', patience) main.py:84-90;
+ModelCheckpoint(save_best_only) main.py:106-113) with a plain, fully-jitted
+JAX loop. Checkpoints are orbax-compatible pickles of (params, opt_state,
+epoch, metrics) plus a self-describing config.json next to them
+(reference: utils/utils.py:58-65 MyTestTubeLogger.log_hyperparams).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from temp_tpu.config import TKGConfig, encode_run_name
+from temp_tpu.data.snapshots import TKGData
+from temp_tpu.models.objectives import metrics_from_ranks
+from temp_tpu.train.optim import make_optimizer
+
+
+def batched_time_positions(num_times: int, batch_size: int, rng: Optional[np.random.RandomState]):
+    """Yield (t_pos [B], t_valid [B]) covering all time positions.
+
+    The reference's dataloader iterates ALL timestamps as both train and eval
+    'datasets' (models/TKG_Module.py:181-200), shuffled for training.
+    """
+    order = np.arange(num_times)
+    if rng is not None:
+        rng.shuffle(order)
+    for i in range(0, num_times, batch_size):
+        chunk = order[i:i + batch_size]
+        valid = np.ones(len(chunk), bool)
+        if len(chunk) < batch_size:
+            pad = batch_size - len(chunk)
+            chunk = np.concatenate([chunk, np.zeros(pad, np.int64)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        yield chunk.astype(np.int32), valid
+
+
+class Trainer:
+    def __init__(self, cfg: TKGConfig, model, data: TKGData,
+                 run_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.model = model
+        self.data = jax.device_put(data)
+        self.optimizer = make_optimizer(cfg)
+        self.run_dir = run_dir or os.path.join(
+            cfg.experiments_dir, cfg.model_name or encode_run_name(cfg))
+        self.history: list = []
+        self._build_steps()
+
+    def _build_steps(self):
+        model, optimizer = self.model, self.optimizer
+
+        @jax.jit
+        def train_step(params, opt_state, data, t_pos, t_valid, rng):
+            def loss_fn(p):
+                return model.loss(p, data, t_pos, t_valid, rng)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        @partial(jax.jit, static_argnames=("split",))
+        def eval_step(params, data, t_pos, t_valid, split):
+            return model.eval_ranks(params, data, t_pos, t_valid, split)
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def init_state(self, seed: Optional[int] = None):
+        key = jax.random.PRNGKey(seed if seed is not None else self.cfg.seed)
+        params = self.model.init_params(key)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def run_eval(self, params, split: str = "valid") -> Dict[str, Any]:
+        all_ranks, all_masks, losses = [], [], []
+        for t_pos, t_valid in batched_time_positions(
+                self.data.num_times, self.cfg.batch_size, None):
+            ranks, mask, bce = self.eval_step(
+                params, self.data, jnp.asarray(t_pos), jnp.asarray(t_valid), split)
+            all_ranks.append(np.asarray(ranks))
+            all_masks.append(np.asarray(mask))
+            losses.append(float(bce))
+        m = metrics_from_ranks(np.concatenate(all_ranks), np.concatenate(all_masks))
+        m["loss"] = float(np.mean(losses))
+        return m
+
+    def fit(self, params=None, opt_state=None, max_epochs: Optional[int] = None,
+            log_fn=print) -> Dict[str, Any]:
+        cfg = self.cfg
+        if params is None:
+            params, opt_state = self.init_state()
+        np_rng = np.random.RandomState(cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed)
+        best_mrr, best_epoch = -1.0, -1
+        max_epochs = max_epochs or cfg.max_nb_epochs
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            epoch_losses = []
+            for t_pos, t_valid in batched_time_positions(
+                    self.data.num_times, cfg.batch_size, np_rng):
+                rng, step_key = jax.random.split(rng)
+                params, opt_state, loss = self.train_step(
+                    params, opt_state, self.data, jnp.asarray(t_pos),
+                    jnp.asarray(t_valid), step_key)
+                epoch_losses.append(float(loss))
+                if cfg.fast_dev_run:
+                    break
+                if cfg.debug and len(epoch_losses) >= max(
+                        1, self.data.num_times // cfg.batch_size // 10):
+                    break  # --debug trains on ~10% of batches (main.py:133-135)
+            train_time = time.time() - t0
+
+            t1 = time.time()
+            val = self.run_eval(params, "valid")
+            rec = {
+                "epoch": epoch, "train_loss": float(np.mean(epoch_losses)),
+                "val": val, "train_s": round(train_time, 2),
+                "eval_s": round(time.time() - t1, 2),
+            }
+            self.history.append(rec)
+            log_fn(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
+                   f"val_mrr={val['mrr']:.4f} h1={val['hit_1']:.4f} "
+                   f"h3={val['hit_3']:.4f} h10={val['hit_10']:.4f} "
+                   f"({train_time:.1f}s train, {rec['eval_s']:.1f}s eval)")
+
+            if val["mrr"] > best_mrr:
+                best_mrr, best_epoch = val["mrr"], epoch
+                self.save_checkpoint(params, opt_state, epoch, val)
+            if epoch - best_epoch >= cfg.patience:
+                log_fn(f"early stop at epoch {epoch} (best mrr {best_mrr:.4f} "
+                       f"@ epoch {best_epoch})")
+                break
+            if cfg.fast_dev_run:
+                break
+
+        return {"best_mrr": best_mrr, "best_epoch": best_epoch,
+                "params": params, "opt_state": opt_state,
+                "history": self.history}
+
+    # -- checkpointing ------------------------------------------------------
+
+    def ckpt_path(self) -> str:
+        return os.path.join(self.run_dir, "checkpoints", "best.ckpt")
+
+    def save_checkpoint(self, params, opt_state, epoch: int, metrics: Dict):
+        path = self.ckpt_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        blob = {
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+            "epoch": epoch,
+            "metrics": metrics,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        with open(os.path.join(self.run_dir, "checkpoints", "meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "metrics": metrics}, f, indent=2)
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        with open(path or self.ckpt_path(), "rb") as f:
+            blob = pickle.load(f)
+        params = jax.device_put(blob["params"])
+        opt_state = jax.device_put(blob["opt_state"])
+        return params, opt_state, blob
+
+
+def load_checkpoint_params(run_dir: str):
+    """Restore (cfg, params) from an experiment dir — the test.py restore path
+    (reference test.py:336-416)."""
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = TKGConfig.from_dict(json.load(f))
+    with open(os.path.join(run_dir, "checkpoints", "best.ckpt"), "rb") as f:
+        blob = pickle.load(f)
+    return cfg, jax.device_put(blob["params"]), blob

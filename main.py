@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Usage mirrors the reference (main.py:27-139, README.md:84-92):
+
+    python main.py -c grid/icews14/config_grrgcn.json [--flag value ...]
+
+Any TKGConfig field can be overridden on the command line with --field value
+(or --flag for booleans). Runs land in experiments/<name>/ with a
+self-describing config.json and a best checkpoint selected on val MRR with
+early stopping (patience from config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def parse_args(argv=None):
+    from temp_tpu.config import TKGConfig
+
+    parser = argparse.ArgumentParser(description="temp_tpu trainer")
+    parser.add_argument("--config", "-c", type=str, default=None)
+    for f in dataclasses.fields(TKGConfig):
+        name = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action=argparse.BooleanOptionalAction, default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+    args = parser.parse_args(argv)
+
+    raw = {}
+    if args.config:
+        with open(args.config) as fh:
+            raw.update(json.load(fh))
+    for f in dataclasses.fields(TKGConfig):
+        v = getattr(args, f.name, None)
+        if v is None:
+            continue
+        if not isinstance(v, bool):
+            ftype = {int: int, float: float, str: str}.get(type(f.default), str)
+            if f.default is None:
+                ftype = str
+            v = ftype(v)
+        raw[f.name] = v
+    return TKGConfig.from_dict(raw)
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    # late imports so --help works without jax init
+    from temp_tpu.data.snapshots import build_tkg_data
+    from temp_tpu.models.registry import get_model
+    from temp_tpu.train.loop import Trainer
+
+    print(f"config: module={cfg.module} dataset={cfg.dataset} "
+          f"seq_len={cfg.train_seq_len} neg={cfg.negative_rate}")
+    data = build_tkg_data(cfg)
+    print(f"data: {data.num_ents} entities, {data.num_rels} relations, "
+          f"{data.num_times} timestamps, train edge pad {data.train.src.shape[1]}")
+    model = get_model(cfg, data)
+    trainer = Trainer(cfg, model, data)
+    result = trainer.fit()
+    print(f"best val mrr {result['best_mrr']:.4f} @ epoch {result['best_epoch']}")
+
+    # final test evaluation with the best checkpoint
+    params, _, blob = trainer.load_checkpoint()
+    test = trainer.run_eval(params, "test")
+    print(f"test: mrr={test['mrr']:.4f} h1={test['hit_1']:.4f} "
+          f"h3={test['hit_3']:.4f} h10={test['hit_10']:.4f}")
+    with open(f"{trainer.run_dir}/test_metrics.json", "w") as f:
+        json.dump(test, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,7 +112,12 @@ class TKGConfig:
 
     @property
     def dataset_path(self) -> str:
-        return os.path.join(self.data_root, self.dataset_dir, self.dataset)
+        # reference configs store dataset already joined with the dir
+        # ("interpolation/icews14", main.py:30-32 overlay after process_args)
+        ds = self.dataset
+        if ds.startswith(self.dataset_dir + "/") or os.sep in ds:
+            return os.path.join(self.data_root, ds)
+        return os.path.join(self.data_root, self.dataset_dir, ds)
 
     def replace(self, **kw) -> "TKGConfig":
         return dataclasses.replace(self, **kw)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from temp_tpu.ops.membership import lex_member
+from temp_tpu.ops.membership import true_answer_mask
 
 NEG_INF = -1.0e7
 
@@ -32,7 +32,7 @@ def filtered_ranks(
     """Return int32 [Q] 1-indexed filtered ranks."""
     Q, N = scores.shape
     cand = jnp.arange(N, dtype=jnp.int32)[None, :]
-    known = lex_member(grp_sorted, val_sorted, q_grp[:, None], cand)  # [Q, N]
+    known = true_answer_mask(grp_sorted, val_sorted, q_grp, N)  # [Q, N]
     keep_target = cand == target[:, None]
     masked = jnp.where(known & ~keep_target, NEG_INF, scores)
     tgt_score = jnp.take_along_axis(scores, target[:, None].astype(jnp.int32), axis=1)

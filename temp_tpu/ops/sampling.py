@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from temp_tpu.ops.membership import lex_member
+from temp_tpu.ops.membership import true_answer_mask
 
 
 def draw_negatives(
@@ -40,10 +40,16 @@ def draw_negatives(
     P = q_grp.shape[0]
     k_extra = negative_rate + oversample
     draws = jax.random.randint(rng, (P, k_extra), 0, num_ents, dtype=jnp.int32)
-    is_true = lex_member(grp_sorted, val_sorted, q_grp[:, None], draws)
-    # stable argsort: valid draws keep their draw order, invalid go last
-    order = jnp.argsort(is_true.astype(jnp.int32), axis=1, stable=True)
-    neg = jnp.take_along_axis(draws, order[:, :negative_rate], axis=1)
+    full_mask = true_answer_mask(grp_sorted, val_sorted, q_grp, num_ents)  # [P, N]
+    is_valid = ~jnp.take_along_axis(full_mask, draws, axis=1)
+    # compact the first `negative_rate` valid draws in draw order without a
+    # sort: destination slot = running count of valid draws; overflow and
+    # invalid draws land in a dump slot.
+    vidx = jnp.cumsum(is_valid.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(is_valid & (vidx < negative_rate), vidx, negative_rate)
+    rows = jnp.broadcast_to(jnp.arange(P)[:, None], (P, k_extra))
+    neg = jnp.zeros((P, negative_rate + 1), jnp.int32).at[rows, dest].set(draws)
+    neg = neg[:, :negative_rate]
     return jnp.concatenate([pos[:, None].astype(jnp.int32), neg], axis=1)
 
 

@@ -123,5 +123,8 @@ def score_candidates_all(
     mode: str,
 ) -> jnp.ndarray:
     """Score [P, C] candidates by scoring all N entities (MXU) then gathering."""
+    from temp_tpu.parallel.mesh import constrain
+
     full = score_all_fn(q_ent, q_rel, table, mode)  # [P, N]
+    full = constrain(full, None, "model")  # shard entity axis across chips
     return jnp.take_along_axis(full, candidates, axis=1)

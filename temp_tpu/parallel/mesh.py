@@ -1,0 +1,61 @@
+"""Device-mesh parallelism.
+
+The reference's only distribution strategy is DDP data parallelism over
+batches of target timestamps (utils/args.py:12, models/TKG_Module.py:162-179,
+SURVEY.md §2.8). Here the same unit of parallelism — the batch of target
+times — is the `data` mesh axis, and a second `model` axis shards the
+entity dimension of the big score/state tensors, with XLA GSPMD inserting the
+collectives (psum/all-gather over ICI).
+
+Model code calls `constrain(x, *spec)` at the tensors worth sharding; with no
+active mesh this is a no-op, so single-chip runs pay nothing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ACTIVE: Optional[Mesh] = None
+
+
+def make_mesh(dp: int, mp: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= dp * mp, (devices.size, dp, mp)
+    grid = devices[: dp * mp].reshape(dp, mp)
+    return Mesh(grid, ("data", "model"))
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = mesh
+    try:
+        with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else contextlib.nullcontext():
+            yield mesh
+    finally:
+        _ACTIVE = prev
+
+
+def constrain(x, *spec):
+    """with_sharding_constraint against the active mesh; no-op without one."""
+    if _ACTIVE is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_ACTIVE, P(*spec)))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

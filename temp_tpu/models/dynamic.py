@@ -94,14 +94,14 @@ class DynamicRGCNModel:
     # -- forward ------------------------------------------------------------
 
     def _encoder_step(self, params, h0, snap: Snapshot, hist1, hist2, dt,
-                      train: bool, rng):
+                      train: bool, rng, direction=None):
         return encoder_forward(
             params["encoder"], self.cfg, self.lc1, self.lc2,
-            h0, snap, hist1, hist2, dt, train, rng,
+            h0, snap, hist1, hist2, dt, train, rng, direction=direction,
         )
 
     def pre_forward(self, params, win: WindowSlice, length: int,
-                    train: bool, rng):
+                    train: bool, rng, direction=None):
         """Scan the first length-1 window snapshots, accumulating history
         (reference pre_forward, DynamicRGCN.py:156-174)."""
         cfg = self.cfg
@@ -128,7 +128,8 @@ class DynamicRGCNModel:
             )
             dt = pos.astype(jnp.float32) - last_pos
             out1, out2, _ = self._encoder_step(
-                params, ent, snap, hist1, hist2, dt, train, step_key)
+                params, ent, snap, hist1, hist2, dt, train, step_key,
+                direction=direction)
             upd = (snap.active & snap.valid)[:, None]
             hist1 = jnp.where(upd, out1, hist1)
             hist2 = jnp.where(upd, out2, hist2)

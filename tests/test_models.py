@@ -29,7 +29,7 @@ def small_cfg(**kw):
     return TKGConfig(**base)
 
 
-MODULES = ["GRRGCN", "RRGCN", "SRGCN"]
+MODULES = ["GRRGCN", "RRGCN", "SRGCN", "BiGRRGCN", "BiRRGCN", "SARGCN", "BiSARGCN"]
 
 
 class TestForward:

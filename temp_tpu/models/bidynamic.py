@@ -34,10 +34,12 @@ class BiDynamicRGCNModel(DynamicRGCNModel):
         win_b = gather_window(data, t_pos, length, backward=True)
         k_f, k_b, k_fin, k_sub = jax.random.split(rng, 4)
 
+        rates_f = self.drop_past[t_pos] if self.drop_past is not None else None
+        rates_b = self.drop_future[t_pos] if self.drop_future is not None else None
         h1f, h2f, lp_f = self.pre_forward(params, win_f, length, train, k_f,
-                                          direction="fwd")
+                                          direction="fwd", drop_rates=rates_f)
         h1b, h2b, lp_b = self.pre_forward(params, win_b, length, train, k_b,
-                                          direction="bwd")
+                                          direction="bwd", drop_rates=rates_b)
 
         emask = win_f.emask[length - 1]
         if train:

@@ -79,6 +79,20 @@ class DynamicRGCNModel:
         # (reference models/DynamicRGCN.py:18: test_seq_len = train_seq_len)
         self.eval_len = cfg.train_seq_len
         self.score_all, self.score_single = get_score_fn(cfg.score_function)
+        self.drop_past = self.drop_future = None
+        if cfg.edge_dropout:
+            # frequency-driven DropEdge (DynamicRGCN.py:25-27, utils/DropEdge.py)
+            import jax as _jax
+            from temp_tpu.data.frequency import build_freq_features
+            freq = build_freq_features(
+                data, cfg.train_seq_len, future=cfg.module.startswith("Bi"),
+                rate_lower=cfg.rate_lower, rate_upper=cfg.rate_upper,
+                lambda_1=cfg.lambda_1, lambda_2=cfg.lambda_2,
+                lambda_3=cfg.lambda_3, with_drop_rates=True,
+                cache_key=f"{cfg.dataset}:{data.num_ents}:{data.num_times}",
+            )
+            self.drop_past = _jax.device_put(jnp.asarray(freq.drop_rate_past))
+            self.drop_future = _jax.device_put(jnp.asarray(freq.drop_rate_future))
 
     # -- parameters ---------------------------------------------------------
 
@@ -101,7 +115,7 @@ class DynamicRGCNModel:
         )
 
     def pre_forward(self, params, win: WindowSlice, length: int,
-                    train: bool, rng, direction=None):
+                    train: bool, rng, direction=None, drop_rates=None):
         """Scan the first length-1 window snapshots, accumulating history
         (reference pre_forward, DynamicRGCN.py:156-174)."""
         cfg = self.cfg
@@ -111,15 +125,21 @@ class DynamicRGCNModel:
         hist2 = jnp.zeros((N, d))
         last_pos = jnp.zeros((N,), jnp.float32)
 
-        use_dropout = train and cfg.random_dropout
+        use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
+        use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
 
         def step(carry, xs):
             hist1, hist2, last_pos = carry
-            pos, snap_arrays, step_key = xs
+            pos, snap_arrays, step_key, rate_row = xs
             emask = snap_arrays["emask"]
             if use_dropout:
                 k_drop, step_key = jax.random.split(step_key)
                 emask = subsample_edges(k_drop, emask, 0.8)  # DynamicRGCN.py:172 rate=0.8
+            if use_drop_edge:
+                # keep each edge with prob 1 - drop_rate (DropEdge.py:130)
+                k_drop, step_key = jax.random.split(step_key)
+                keep = jax.random.uniform(k_drop, emask.shape) >= rate_row
+                emask = emask & keep
             snap = Snapshot(
                 src=snap_arrays["src"], dst=snap_arrays["dst"],
                 rel=snap_arrays["rel"], emask=emask,
@@ -137,6 +157,8 @@ class DynamicRGCNModel:
             return (hist1, hist2, last_pos), None
 
         L1 = length - 1
+        rates = (drop_rates[:L1] if use_drop_edge
+                 else jnp.zeros((L1, win.emask.shape[1]), jnp.float32))
         xs = (
             jnp.arange(L1, dtype=jnp.int32),
             {
@@ -145,6 +167,7 @@ class DynamicRGCNModel:
                 "valid": win.valid[:L1], "active": win.active[:L1],
             },
             jax.random.split(rng, L1),
+            rates,
         )
         (hist1, hist2, last_pos), _ = jax.lax.scan(step, (hist1, hist2, last_pos), xs)
         return hist1, hist2, last_pos
@@ -155,7 +178,9 @@ class DynamicRGCNModel:
         length = self.train_len if train else self.eval_len
         win = gather_window(data, t_pos, length)
         k_pre, k_fin, k_sub = jax.random.split(rng, 3)
-        hist1, hist2, last_pos = self.pre_forward(params, win, length, train, k_pre)
+        rates = self.drop_past[t_pos] if self.drop_past is not None else None
+        hist1, hist2, last_pos = self.pre_forward(params, win, length, train, k_pre,
+                                                  drop_rates=rates)
 
         emask = win.emask[length - 1]
         if train:

@@ -67,6 +67,32 @@ class TestForward:
         assert r.size > 0
         assert (r >= 1).all() and (r <= data.num_ents).all()
 
+    @pytest.mark.parametrize("module", ["GRRGCN", "BiGRRGCN"])
+    @pytest.mark.parametrize("flags", [
+        dict(impute=True),
+        dict(post_aggregation=True),
+        dict(post_ensemble=True),
+        dict(post_ensemble=True, impute=True),
+        dict(edge_dropout=True),
+    ])
+    def test_post_variants(self, data, module, flags):
+        cfg = small_cfg(module=module, **flags)
+        model = get_model(cfg, data)
+        params = model.init_params(jax.random.PRNGKey(0))
+        t_pos = jnp.asarray([4, 7], jnp.int32)
+        t_valid = jnp.asarray([True, True])
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, data, t_pos, t_valid, jax.random.PRNGKey(1))
+        )(params)
+        assert np.isfinite(float(loss)), (module, flags)
+        if "gates" in params:
+            gsum = sum(float(jnp.abs(g).sum())
+                       for g in jax.tree_util.tree_leaves(grads["gates"]))
+            assert np.isfinite(gsum)
+        ranks, mask, bce = model.eval_ranks(params, data, t_pos, t_valid, "valid")
+        r = np.asarray(ranks)[np.asarray(mask)]
+        assert (r >= 1).all() and (r <= data.num_ents).all(), (module, flags)
+
     def test_flags_variants_run(self, data):
         for flags in [
             dict(use_time_embedding=True),

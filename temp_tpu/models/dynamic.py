@@ -107,6 +107,11 @@ class DynamicRGCNModel:
 
     # -- forward ------------------------------------------------------------
 
+    def input_embeddings(self, params, t_idx):
+        """Per-snapshot input entity features; TimeDynamicRGCN overrides this
+        with diachronic features (models/TimeDynamicRGCN.py:15-43)."""
+        return params["ent_embeds"]
+
     def _encoder_step(self, params, h0, snap: Snapshot, hist1, hist2, dt,
                       train: bool, rng, direction=None):
         return encoder_forward(
@@ -120,7 +125,6 @@ class DynamicRGCNModel:
         (reference pre_forward, DynamicRGCN.py:156-174)."""
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
-        ent = params["ent_embeds"]
         hist1 = jnp.zeros((N, d))
         hist2 = jnp.zeros((N, d))
         last_pos = jnp.zeros((N,), jnp.float32)
@@ -147,8 +151,9 @@ class DynamicRGCNModel:
                 active=snap_arrays["active"],
             )
             dt = pos.astype(jnp.float32) - last_pos
+            h0 = self.input_embeddings(params, snap.t_idx)
             out1, out2, _ = self._encoder_step(
-                params, ent, snap, hist1, hist2, dt, train, step_key,
+                params, h0, snap, hist1, hist2, dt, train, step_key,
                 direction=direction)
             upd = (snap.active & snap.valid)[:, None]
             hist1 = jnp.where(upd, out1, hist1)
@@ -194,10 +199,13 @@ class DynamicRGCNModel:
         )
         dt = (length - 1) - last_pos
         _, out2, _ = self._encoder_step(
-            params, params["ent_embeds"], snap, hist1, hist2, dt, train, k_fin)
+            params, self.input_embeddings(params, snap.t_idx), snap,
+            hist1, hist2, dt, train, k_fin)
         if cfg.use_embed_for_non_active:
-            # DynamicRGCN.py:58-59
-            out2 = jnp.where(snap.active[:, None], out2, params["ent_embeds"])
+            # DynamicRGCN.py:58-59 (TimeDynamicRGCN.py:36-38 uses the
+            # diachronic inputs here, via the input_embeddings hook)
+            out2 = jnp.where(snap.active[:, None], out2,
+                             self.input_embeddings(params, snap.t_idx))
         return out2
 
     # -- objectives ---------------------------------------------------------

@@ -27,9 +27,15 @@ def get_model(cfg: TKGConfig, data: TKGData):
         from temp_tpu.models.bidynamic import BiDynamicRGCNModel
         return BiDynamicRGCNModel(cfg, data)
     if module == "SARGCN":
+        if cfg.post_aggregation:
+            from temp_tpu.models.postselfattn import PostSelfAttentionRGCNModel
+            return PostSelfAttentionRGCNModel(cfg, data)
         from temp_tpu.models.selfattn import SelfAttentionRGCNModel
         return SelfAttentionRGCNModel(cfg, data)
     if module == "BiSARGCN":
+        if cfg.post_aggregation:
+            from temp_tpu.models.postselfattn import PostBiSelfAttentionRGCNModel
+            return PostBiSelfAttentionRGCNModel(cfg, data)
         from temp_tpu.models.selfattn import BiSelfAttentionRGCNModel
         return BiSelfAttentionRGCNModel(cfg, data)
     if module == "SRGCN":

@@ -93,6 +93,55 @@ class TestForward:
         r = np.asarray(ranks)[np.asarray(mask)]
         assert (r >= 1).all() and (r <= data.num_ents).all(), (module, flags)
 
+    @pytest.mark.parametrize("module", ["Static", "DE", "ATiSE", "Hyte",
+                                        "SimplE", "TimeDynamicRGCN"])
+    def test_baselines(self, data, module):
+        cfg = small_cfg(module=module)
+        model = get_model(cfg, data)
+        params = model.init_params(jax.random.PRNGKey(0))
+        t_pos = jnp.asarray([3, 6], jnp.int32)
+        t_valid = jnp.asarray([True, True])
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, data, t_pos, t_valid, jax.random.PRNGKey(1))
+        )(params)
+        assert np.isfinite(float(loss)), module
+        assert float(jnp.abs(grads["ent_embeds"]).sum()) > 0
+        ranks, mask, _ = model.eval_ranks(params, data, t_pos, t_valid, "valid")
+        r = np.asarray(ranks)[np.asarray(mask)]
+        assert (r >= 1).all() and (r <= data.num_ents).all(), module
+
+    def test_post_selfattention(self, data):
+        for module in ["SARGCN", "BiSARGCN"]:
+            cfg = small_cfg(module=module, post_aggregation=True)
+            model = get_model(cfg, data)
+            params = model.init_params(jax.random.PRNGKey(0))
+            t_pos = jnp.asarray([4, 7], jnp.int32)
+            t_valid = jnp.asarray([True, True])
+            loss = model.loss(params, data, t_pos, t_valid, jax.random.PRNGKey(1))
+            assert np.isfinite(float(loss)), module
+            ranks, mask, _ = model.eval_ranks(params, data, t_pos, t_valid, "valid")
+            r = np.asarray(ranks)[np.asarray(mask)]
+            assert (r >= 1).all() and (r <= data.num_ents).all(), module
+
+    def test_aggregator_debug_mode(self, data):
+        cfg = small_cfg(module="Aggregator", temporal_module="BiGRRGCN")
+        model = get_model(cfg, data)
+        params = model.init_params(jax.random.PRNGKey(0))
+        t_pos = jnp.asarray([4, 7], jnp.int32)
+        t_valid = jnp.asarray([True, True])
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, data, t_pos, t_valid, jax.random.PRNGKey(1))
+        )(params)
+        assert np.isfinite(float(loss))
+        # only the gate MLPs are trainable
+        assert set(params.keys()) == {"gates"}
+        gsum = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(grads))
+        assert gsum > 0
+        ranks, mask, _ = model.eval_ranks(params, data, t_pos, t_valid, "valid")
+        r = np.asarray(ranks)[np.asarray(mask)]
+        assert (r >= 1).all() and (r <= data.num_ents).all()
+
     def test_flags_variants_run(self, data):
         for flags in [
             dict(use_time_embedding=True),

@@ -63,7 +63,7 @@ class Trainer:
     def _build_steps(self):
         model, optimizer = self.model, self.optimizer
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, data, t_pos, t_valid, rng):
             def loss_fn(p):
                 return model.loss(p, data, t_pos, t_valid, rng)
@@ -86,16 +86,20 @@ class Trainer:
         return params, opt_state
 
     def run_eval(self, params, split: str = "valid") -> Dict[str, Any]:
+        # keep everything on device until the end: each host sync pays a full
+        # round trip (expensive over remote-attached TPUs)
         all_ranks, all_masks, losses = [], [], []
         for t_pos, t_valid in batched_time_positions(
                 self.data.num_times, self.cfg.batch_size, None):
             ranks, mask, bce = self.eval_step(
                 params, self.data, jnp.asarray(t_pos), jnp.asarray(t_valid), split)
-            all_ranks.append(np.asarray(ranks))
-            all_masks.append(np.asarray(mask))
-            losses.append(float(bce))
+            all_ranks.append(ranks)
+            all_masks.append(mask)
+            losses.append(bce)
+        all_ranks = [np.asarray(r) for r in all_ranks]
+        all_masks = [np.asarray(m) for m in all_masks]
         m = metrics_from_ranks(np.concatenate(all_ranks), np.concatenate(all_masks))
-        m["loss"] = float(np.mean(losses))
+        m["loss"] = float(np.mean([float(x) for x in losses]))
         return m
 
     def fit(self, params=None, opt_state=None, max_epochs: Optional[int] = None,
@@ -120,12 +124,13 @@ class Trainer:
                 params, opt_state, loss = self.train_step(
                     params, opt_state, self.data, jnp.asarray(t_pos),
                     jnp.asarray(t_valid), step_key)
-                epoch_losses.append(float(loss))
+                epoch_losses.append(loss)  # device scalar; sync at epoch end
                 if cfg.fast_dev_run:
                     break
                 if cfg.debug and len(epoch_losses) >= max(
                         1, self.data.num_times // cfg.batch_size // 10):
                     break  # --debug trains on ~10% of batches (main.py:133-135)
+            epoch_losses = [float(x) for x in epoch_losses]
             train_time = time.time() - t0
 
             t1 = time.time()

@@ -81,6 +81,13 @@ class TKGData:
     test: SplitEdges
     active: Any       # [T, N] bool — entity appears in any split at t
     times: Any        # [T] int32 raw time values (sorted)
+    # compact active set (the TPU equivalent of the reference's per-snapshot
+    # node compaction, utils/dataset.py:168): history steps compute only
+    # these rows instead of all N entities
+    act_idx: Any      # [T, A_pad] int32 global ids of active entities (pad 0)
+    act_mask: Any     # [T, A_pad] bool
+    train_src_loc: Any  # [T, E_pad] int32 src position in act_idx row
+    train_dst_loc: Any  # [T, E_pad] int32
     # filter tables
     train_tail: FilterTable  # true tails among train facts (negative sampling)
     train_head: FilterTable
@@ -198,12 +205,33 @@ def build_tkg_data_from_quads(
     train_tail, train_head = _filter_tables(train_q, times, num_rels, edge_pad_multiple)
     total_tail, total_head = _filter_tables(total_q, times, num_rels, edge_pad_multiple)
 
+    # compact active sets + local edge coordinates for the train split
+    max_active = max(1, int(active.sum(axis=1).max()))
+    a_pad = _round_up(max_active, min(edge_pad_multiple, 128))
+    act_idx = np.zeros((T, a_pad), np.int32)
+    act_mask = np.zeros((T, a_pad), bool)
+    src_loc = np.zeros((T, e_pad_train), np.int32)
+    dst_loc = np.zeros((T, e_pad_train), np.int32)
+    for i in range(T):
+        ids = np.nonzero(active[i])[0]
+        act_idx[i, :len(ids)] = ids
+        act_mask[i, :len(ids)] = True
+        inv = np.zeros(num_ents, np.int32)
+        inv[ids] = np.arange(len(ids), dtype=np.int32)
+        k = int(train.n_edges[i])
+        src_loc[i, :k] = inv[train.src[i, :k]]
+        dst_loc[i, :k] = inv[train.dst[i, :k]]
+
     return TKGData(
         train=train,
         valid=valid,
         test=test,
         active=active,
         times=times.astype(np.int32),
+        act_idx=act_idx,
+        act_mask=act_mask,
+        train_src_loc=src_loc,
+        train_dst_loc=dst_loc,
         train_tail=train_tail,
         train_head=train_head,
         total_tail=total_tail,
@@ -226,7 +254,7 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
     path = cfg.dataset_path
     num_ents, num_rels, _ = load_stat(path)
     key = hashlib.md5(
-        f"{path}:{cfg.edge_pad_multiple}:v1".encode()
+        f"{path}:{cfg.edge_pad_multiple}:v2".encode()
     ).hexdigest()[:16]
     cache_file = os.path.join(_CACHE_DIR, f"tkg_{os.path.basename(path)}_{key}.npz")
     if cache and os.path.exists(cache_file):
@@ -246,7 +274,10 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
 
 
 def _to_npz(d: TKGData) -> Dict[str, np.ndarray]:
-    out = {"times": d.times, "active": d.active, "num_times": np.int64(d.num_times)}
+    out = {"times": d.times, "active": d.active, "num_times": np.int64(d.num_times),
+           "act_idx": np.asarray(d.act_idx), "act_mask": np.asarray(d.act_mask),
+           "train_src_loc": np.asarray(d.train_src_loc),
+           "train_dst_loc": np.asarray(d.train_dst_loc)}
     for name in ("train", "valid", "test"):
         s: SplitEdges = getattr(d, name)
         for f in ("src", "rel", "dst", "emask", "n_edges"):
@@ -271,6 +302,8 @@ def _from_npz(z, num_ents: int, num_rels: int) -> TKGData:
     return TKGData(
         train=split("train"), valid=split("valid"), test=split("test"),
         active=z["active"], times=z["times"],
+        act_idx=z["act_idx"], act_mask=z["act_mask"],
+        train_src_loc=z["train_src_loc"], train_dst_loc=z["train_dst_loc"],
         train_tail=table("train_tail"), train_head=table("train_head"),
         total_tail=table("total_tail"), total_head=table("total_head"),
         num_ents=num_ents, num_rels=num_rels, num_times=int(z["num_times"]),

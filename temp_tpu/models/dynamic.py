@@ -41,6 +41,11 @@ class WindowSlice(NamedTuple):
     t_idx: jnp.ndarray   # [L] time position (clipped)
     valid: jnp.ndarray   # [L] bool
     active: jnp.ndarray  # [L, N]
+    # compact active-set view (history steps compute only these rows)
+    act_idx: jnp.ndarray   # [L, A]
+    act_mask: jnp.ndarray  # [L, A]
+    src_loc: jnp.ndarray   # [L, E] src position within act_idx row
+    dst_loc: jnp.ndarray   # [L, E]
 
 
 def gather_window(data: TKGData, t_pos: jnp.ndarray, length: int,
@@ -62,6 +67,9 @@ def gather_window(data: TKGData, t_pos: jnp.ndarray, length: int,
         emask=tr.emask[safe] & valid[:, None],
         t_idx=safe, valid=valid,
         active=data.active[safe] & valid[:, None],
+        act_idx=data.act_idx[safe],
+        act_mask=data.act_mask[safe] & valid[:, None],
+        src_loc=data.train_src_loc[safe], dst_loc=data.train_dst_loc[safe],
     )
 
 
@@ -122,7 +130,14 @@ class DynamicRGCNModel:
     def pre_forward(self, params, win: WindowSlice, length: int,
                     train: bool, rng, direction=None, drop_rates=None):
         """Scan the first length-1 window snapshots, accumulating history
-        (reference pre_forward, DynamicRGCN.py:156-174)."""
+        (reference pre_forward, DynamicRGCN.py:156-174).
+
+        Each step computes ONLY the snapshot's compact active set (the TPU
+        equivalent of the reference's per-graph node compaction): gather the
+        active rows of the dense history, run the encoder on [A, d], scatter
+        the updates back. Inactive entities never update history — identical
+        semantics, ~N/A_t times less matmul work per step.
+        """
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
         hist1 = jnp.zeros((N, d))
@@ -134,31 +149,31 @@ class DynamicRGCNModel:
 
         def step(carry, xs):
             hist1, hist2, last_pos = carry
-            pos, snap_arrays, step_key, rate_row = xs
-            emask = snap_arrays["emask"]
+            pos, sa, step_key, rate_row = xs
+            emask = sa["emask"]
             if use_dropout:
                 k_drop, step_key = jax.random.split(step_key)
                 emask = subsample_edges(k_drop, emask, 0.8)  # DynamicRGCN.py:172 rate=0.8
             if use_drop_edge:
                 # keep each edge with prob 1 - drop_rate (DropEdge.py:130)
                 k_drop, step_key = jax.random.split(step_key)
-                keep = jax.random.uniform(k_drop, emask.shape) >= rate_row
-                emask = emask & keep
+                emask = emask & (jax.random.uniform(k_drop, emask.shape) >= rate_row)
+            a_idx, a_mask = sa["act_idx"], sa["act_mask"]
             snap = Snapshot(
-                src=snap_arrays["src"], dst=snap_arrays["dst"],
-                rel=snap_arrays["rel"], emask=emask,
-                t_idx=snap_arrays["t_idx"], valid=snap_arrays["valid"],
-                active=snap_arrays["active"],
+                src=sa["src_loc"], dst=sa["dst_loc"], rel=sa["rel"],
+                emask=emask, t_idx=sa["t_idx"], valid=sa["valid"],
+                active=a_mask,
             )
-            dt = pos.astype(jnp.float32) - last_pos
-            h0 = self.input_embeddings(params, snap.t_idx)
+            dt = pos.astype(jnp.float32) - last_pos[a_idx]
+            h0 = self.input_embeddings_rows(params, snap.t_idx, a_idx)
             out1, out2, _ = self._encoder_step(
-                params, h0, snap, hist1, hist2, dt, train, step_key,
-                direction=direction)
-            upd = (snap.active & snap.valid)[:, None]
-            hist1 = jnp.where(upd, out1, hist1)
-            hist2 = jnp.where(upd, out2, hist2)
-            last_pos = jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos)
+                params, h0, snap, hist1[a_idx], hist2[a_idx], dt, train,
+                step_key, direction=direction)
+            upd = (a_mask & sa["valid"])[:, None]
+            hist1 = hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx]))
+            hist2 = hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx]))
+            last_pos = last_pos.at[a_idx].set(
+                jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]))
             return (hist1, hist2, last_pos), None
 
         L1 = length - 1
@@ -170,12 +185,18 @@ class DynamicRGCNModel:
                 "src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
                 "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
                 "valid": win.valid[:L1], "active": win.active[:L1],
+                "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
+                "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1],
             },
             jax.random.split(rng, L1),
             rates,
         )
         (hist1, hist2, last_pos), _ = jax.lax.scan(step, (hist1, hist2, last_pos), xs)
         return hist1, hist2, last_pos
+
+    def input_embeddings_rows(self, params, t_idx, rows):
+        """Gathered input features for the compact active set."""
+        return params["ent_embeds"][rows]
 
     def forward_element(self, params, data: TKGData, t_pos, train: bool, rng):
         """Full forward for one target time -> dense [N, d] entity table."""

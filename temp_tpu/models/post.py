@@ -132,20 +132,22 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
             if use_drop_edge:
                 k_drop, step_key = jax.random.split(step_key)
                 emask = emask & (jax.random.uniform(k_drop, emask.shape) >= rate_row)
-            snap = Snapshot(src=sa["src"], dst=sa["dst"], rel=sa["rel"],
+            a_idx, a_mask = sa["act_idx"], sa["act_mask"]
+            snap = Snapshot(src=sa["src_loc"], dst=sa["dst_loc"], rel=sa["rel"],
                             emask=emask, t_idx=sa["t_idx"], valid=sa["valid"],
-                            active=sa["active"])
-            dt = pos.astype(jnp.float32) - last_pos
+                            active=a_mask)
+            dt = pos.astype(jnp.float32) - last_pos[a_idx]
             out1, out2, local2 = encoder_forward(
                 params["encoder"], cfg, self.lc1, self.lc2,
-                ent, snap, hist1, hist2, dt, train, step_key,
-                direction=direction)
-            upd = (snap.active & snap.valid)[:, None]
+                ent[a_idx], snap, hist1[a_idx], hist2[a_idx], dt, train,
+                step_key, direction=direction)
+            upd = (a_mask & sa["valid"])[:, None]
             return (
-                jnp.where(upd, out1, hist1),
-                jnp.where(upd, out2, hist2),
-                jnp.where(upd, local2, hist_loc),
-                jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos),
+                hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx])),
+                hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx])),
+                hist_loc.at[a_idx].set(jnp.where(upd, local2, hist_loc[a_idx])),
+                last_pos.at[a_idx].set(
+                    jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx])),
             ), None
 
         L1 = length - 1
@@ -155,7 +157,9 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
             jnp.arange(L1, dtype=jnp.int32),
             {"src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
              "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
-             "valid": win.valid[:L1], "active": win.active[:L1]},
+             "valid": win.valid[:L1], "active": win.active[:L1],
+             "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
+             "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1]},
             jax.random.split(rng, L1),
             rates,
         )

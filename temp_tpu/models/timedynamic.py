@@ -43,3 +43,10 @@ class TimeDynamicRGCNModel(DynamicRGCNModel):
         temp = jnp.sin(t * params["w_temp"] + params["b_temp"])
         ones = jnp.ones((self.num_ents, self.static_size), static.dtype)
         return static * jnp.concatenate([ones, temp], axis=-1)
+
+    def input_embeddings_rows(self, params, t_idx, rows):
+        static = params["ent_embeds"][rows]
+        t = t_idx.astype(static.dtype)
+        temp = jnp.sin(t * params["w_temp"][rows] + params["b_temp"][rows])
+        ones = jnp.ones((rows.shape[0], self.static_size), static.dtype)
+        return static * jnp.concatenate([ones, temp], axis=-1)

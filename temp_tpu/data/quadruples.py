@@ -24,7 +24,14 @@ def load_quadruples(dataset_path: str, *filenames: str) -> Tuple[np.ndarray, np.
         if fname is None:
             continue
         path = os.path.join(dataset_path, fname)
-        arr = np.loadtxt(path, dtype=np.int64, ndmin=2)
+        arr = None
+        try:  # native fast path (~100x np.loadtxt on GDELT-scale files)
+            from temp_tpu.data.native import parse_quads
+            arr = parse_quads(path)
+        except Exception:
+            arr = None
+        if arr is None:
+            arr = np.loadtxt(path, dtype=np.int64, ndmin=2)
         if arr.size == 0:
             continue
         rows.append(arr[:, :4])

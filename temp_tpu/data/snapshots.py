@@ -103,8 +103,26 @@ class TKGData:
         return 2 * self.num_rels
 
 
+def _time_pos_lut(times: np.ndarray) -> np.ndarray:
+    """raw time value -> position lookup (times are sorted unique ints >= 0)."""
+    size = int(times.max()) + 1 if len(times) else 1
+    lut = np.full(size, -1, np.int32)
+    lut[times] = np.arange(len(times), dtype=np.int32)
+    return lut
+
+
 def _split_edges(quads: np.ndarray, times: np.ndarray, e_pad: int) -> SplitEdges:
     T = len(times)
+    if len(quads) and len(times):
+        try:  # native packing fast path
+            from temp_tpu.data.native import pack_snapshots
+            packed = pack_snapshots(quads, _time_pos_lut(times), T, e_pad)
+        except Exception:
+            packed = None
+        if packed is not None:
+            src, rel, dst, emask, n_edges = packed
+            return SplitEdges(src=src, rel=rel, dst=dst, emask=emask,
+                              n_edges=n_edges)
     src = np.zeros((T, e_pad), np.int32)
     rel = np.zeros((T, e_pad), np.int32)
     dst = np.zeros((T, e_pad), np.int32)
@@ -134,6 +152,19 @@ def _filter_tables(
     """Build (tail_table, head_table) of deduped sorted per-time pairs."""
     T = len(times)
     r2 = 2 * num_rels
+    if len(quads) and len(times):
+        try:  # native sort+dedup fast path
+            from temp_tpu.data.native import filter_pairs
+            lut = _time_pos_lut(times)
+            _, counts = np.unique(quads[:, 3], return_counts=True)
+            f_pad = _round_up(int(counts.max()), pad_mult)
+            tail = filter_pairs(quads, lut, T, f_pad, "tail", r2)
+            head = filter_pairs(quads, lut, T, f_pad, "head", r2)
+        except Exception:
+            tail = head = None
+        if tail is not None and head is not None:
+            return (FilterTable(grp=tail[0], val=tail[1]),
+                    FilterTable(grp=head[0], val=head[1]))
     per_time_tail = []
     per_time_head = []
     order = np.argsort(quads[:, 3], kind="stable")

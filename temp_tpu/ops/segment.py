@@ -67,6 +67,7 @@ def rel_spmm(
     n_bases: int,
     d_out: int,
     num_ents: int,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Full RGCN neighborhood aggregation with the reference's double degree
     normalization.
@@ -83,9 +84,38 @@ def rel_spmm(
     forward/forward_isolated split.
     """
     d_in = h.shape[-1]
+    E = src.shape[0]
     norm = in_degree_norm(dst, emask, num_ents)  # [N]
+    if method == "auto":
+        # On TPU, expressing gather/scatter as one-hot MXU matmuls beats
+        # XLA's serial row gather/scatter when the one-hot tiles are small;
+        # above the threshold the matmul FLOPs dominate and the row path wins.
+        method = "onehot" if E * num_ents <= (1 << 22) else "segment"
+    if method == "onehot":
+        return _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases,
+                                d_out, num_ents, norm)
     h_src = h[src]
     msg = rel_message(h_src, rel, weight, n_bases, d_in, d_out)
     msg = msg * (norm[dst] * emask.astype(h.dtype))[:, None]
     agg = segment_sum(msg, dst, num_ents)
+    return agg * norm[:, None]
+
+
+def _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases, d_out,
+                     num_ents, norm):
+    """Gather/scatter as one-hot matmuls on the MXU (see rel_spmm).
+
+    One-hot entries are exact in any float dtype; Precision.HIGHEST keeps the
+    gathered values and scatter sums at f32 accuracy (bf16x6 passes), so this
+    path is numerically interchangeable with the row gather/scatter path.
+    """
+    d_in = h.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.arange(num_ents, dtype=src.dtype)
+    gather = (src[:, None] == rows[None, :]).astype(h.dtype)    # [E, N]
+    h_src = jnp.dot(gather, h, precision=hi)
+    msg = rel_message(h_src, rel, weight, n_bases, d_in, d_out)
+    msg = msg * (norm[dst] * emask.astype(h.dtype))[:, None]
+    scatter = (dst[:, None] == rows[None, :]).astype(h.dtype)   # [E, N]
+    agg = jnp.dot(scatter.T, msg, precision=hi)
     return agg * norm[:, None]

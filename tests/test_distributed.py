@@ -1,0 +1,122 @@
+"""Multi-device mesh tests on the 8-device virtual CPU mesh (SURVEY.md §7.4):
+
+- the sharded training step compiles, runs, and produces the SAME loss as the
+  single-device step (metric invariance under DP + entity-axis model
+  parallelism),
+- eval ranks are identical under sharding,
+- a full optimizer step keeps parameters synchronized (replicated).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import make_synthetic
+from temp_tpu.models.registry import get_model
+from temp_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, use_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = jax.device_put(make_synthetic(num_ents=32, num_rels=4, num_times=10,
+                                         edges_per_time=24, edge_pad_multiple=16))
+    cfg = TKGConfig(module="GRRGCN", embed_size=16, hidden_size=16, n_bases=4,
+                    train_seq_len=4, batch_size=4, negative_rate=8,
+                    neg_oversample=8, num_pos_facts=64)
+    model = get_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return cfg, data, model, params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (2, 4), (1, 8)])
+def test_sharded_loss_matches_single_device(setup, dp, mp):
+    cfg, data, model, params = setup
+    t_pos = jnp.asarray([4, 5, 6, 7, 2, 3, 8, 1], jnp.int32)
+    t_valid = jnp.ones(8, bool)
+    rng = jax.random.PRNGKey(3)
+
+    ref = float(jax.jit(model.loss)(params, data, t_pos, t_valid, rng))
+
+    mesh = make_mesh(dp, mp)
+    with use_mesh(mesh):
+        sp = jax.device_put(params, replicated(mesh))
+        sd = jax.device_put(data, replicated(mesh))
+        stp = jax.device_put(t_pos, batch_sharding(mesh))
+        stv = jax.device_put(t_valid, batch_sharding(mesh))
+        got = float(jax.jit(model.loss)(sp, sd, stp, stv,
+                                        jax.device_put(rng, replicated(mesh))))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+def test_sharded_eval_ranks_identical(setup):
+    cfg, data, model, params = setup
+    t_pos = jnp.asarray([4, 5, 6, 7, 2, 3, 8, 1], jnp.int32)
+    t_valid = jnp.ones(8, bool)
+
+    ranks_ref, mask_ref, _ = jax.jit(
+        lambda p, tp, tv: model.eval_ranks(p, data, tp, tv, "valid")
+    )(params, t_pos, t_valid)
+
+    mesh = make_mesh(2, 4)
+    with use_mesh(mesh):
+        sp = jax.device_put(params, replicated(mesh))
+        sd = jax.device_put(data, replicated(mesh))
+        stp = jax.device_put(t_pos, batch_sharding(mesh))
+        stv = jax.device_put(t_valid, batch_sharding(mesh))
+        ranks, mask, _ = jax.jit(
+            lambda p, tp, tv: model.eval_ranks(p, sd, tp, tv, "valid")
+        )(sp, stp, stv)
+
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+    np.testing.assert_array_equal(np.asarray(ranks)[np.asarray(mask)],
+                                  np.asarray(ranks_ref)[np.asarray(mask_ref)])
+
+
+def test_sharded_train_step_updates_stay_replicated(setup):
+    from temp_tpu.train.optim import make_optimizer
+    import optax
+
+    cfg, data, model, params = setup
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    mesh = make_mesh(4, 2)
+    with use_mesh(mesh):
+        sp = jax.device_put(params, replicated(mesh))
+        so = jax.device_put(opt_state, replicated(mesh))
+        sd = jax.device_put(data, replicated(mesh))
+        t_pos = jax.device_put(jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8], jnp.int32),
+                               batch_sharding(mesh))
+        t_valid = jax.device_put(jnp.ones(8, bool), batch_sharding(mesh))
+
+        @jax.jit
+        def step(p, o, tp, tv):
+            loss, grads = jax.value_and_grad(
+                lambda pp: model.loss(pp, sd, tp, tv, jax.random.PRNGKey(0)))(p)
+            updates, o = optimizer.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        p2, o2, loss = step(sp, so, t_pos, t_valid)
+        assert np.isfinite(float(loss))
+
+    # sharded update must equal the single-device update exactly
+    @jax.jit
+    def ref_step(p, o, tp, tv):
+        loss, grads = jax.value_and_grad(
+            lambda pp: model.loss(pp, data, tp, tv, jax.random.PRNGKey(0)))(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p_ref, _, loss_ref = ref_step(params, optimizer.init(params),
+                                  jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8], jnp.int32),
+                                  jnp.ones(8, bool))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

@@ -237,6 +237,43 @@ class TestScores:
                 assert out[p, j] == full[p, int(cand[p, j])]
 
 
+class TestSpmmVariants:
+    def _setup(self):
+        rng = np.random.RandomState(9)
+        N, d, R2, E = 32, 16, 10, 48
+        src = rng.randint(0, N, E).astype(np.int32)
+        dst = rng.randint(0, N, E).astype(np.int32)
+        rel = rng.randint(0, R2, E).astype(np.int32)
+        emask = np.ones(E, bool)
+        emask[40:] = False
+        h = rng.randn(N, d).astype(np.float32)
+        w = rng.randn(R2, d).astype(np.float32)
+        return N, d, src, dst, rel, emask, h, w
+
+    def test_onehot_matches_segment(self):
+        N, d, src, dst, rel, emask, h, w = self._setup()
+        args = (jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(rel), jnp.asarray(emask), jnp.asarray(w), d, d, N)
+        ref = rel_spmm(*args, method="segment")
+        oh = rel_spmm(*args, method="onehot")
+        np.testing.assert_allclose(np.asarray(oh), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_pallas_kernel_matches_segment(self):
+        from temp_tpu.ops.pallas_spmm import rel_spmm_pallas
+
+        N, d, src, dst, rel, emask, h, w = self._setup()
+        ref = rel_spmm(jnp.asarray(h), jnp.asarray(src), jnp.asarray(dst),
+                       jnp.asarray(rel), jnp.asarray(emask), jnp.asarray(w),
+                       d, d, N, method="segment")
+        out = rel_spmm_pallas(jnp.asarray(h), jnp.asarray(src),
+                              jnp.asarray(dst), jnp.asarray(rel),
+                              jnp.asarray(emask), jnp.asarray(w),
+                              num_ents=N, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestNorm:
     def test_in_degree_norm(self):
         dst = jnp.asarray([0, 0, 1, 2, 2, 2], jnp.int32)

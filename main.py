@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -63,7 +64,14 @@ def main(argv=None):
           f"{data.num_times} timestamps, train edge pad {data.train.src.shape[1]}")
     model = get_model(cfg, data)
     trainer = Trainer(cfg, model, data)
-    result = trainer.fit()
+    params = opt_state = None
+    if cfg.resume and os.path.exists(trainer.ckpt_path()):
+        # re-attach to the existing run and restore the best checkpoint
+        # (reference main.py:115-122 --resume)
+        params, opt_state, blob = trainer.load_checkpoint()
+        print(f"resumed from epoch {blob['epoch']} "
+              f"(val mrr {blob['metrics'].get('mrr', 0):.4f})")
+    result = trainer.fit(params, opt_state)
     print(f"best val mrr {result['best_mrr']:.4f} @ epoch {result['best_epoch']}")
 
     # final test evaluation with the best checkpoint

@@ -197,6 +197,21 @@ def _filter_tables(
     return pack(per_time_tail), pack(per_time_head)
 
 
+def add_reverse_edges(quads: np.ndarray, num_rels: int) -> np.ndarray:
+    """Double the edge set with inverse relations `rel + num_rels`.
+
+    Extrapolation-mode graph construction (reference utils/dataset.py:63-110
+    `get_big_graph`: reverse edges carry relation id rel + num_rels).
+    Interpolation graphs do NOT do this (utils/dataset.py:186 add_reverse=False);
+    head queries corrupt the head instead.
+    """
+    if len(quads) == 0:
+        return quads
+    rev = np.stack([quads[:, 2], quads[:, 1] + num_rels, quads[:, 0],
+                    quads[:, 3]], 1)
+    return np.concatenate([quads, rev], 0)
+
+
 def build_tkg_data_from_quads(
     train_q: np.ndarray,
     valid_q: np.ndarray,

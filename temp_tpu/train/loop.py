@@ -141,6 +141,8 @@ class Trainer:
                 "eval_s": round(time.time() - t1, 2),
             }
             self.history.append(rec)
+            with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
             log_fn(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
                    f"val_mrr={val['mrr']:.4f} h1={val['hit_1']:.4f} "
                    f"h3={val['hit_3']:.4f} h10={val['hit_10']:.4f} "

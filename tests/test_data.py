@@ -105,6 +105,18 @@ class TestNativeParity:
             assert not emask[i, len(rows):].any()
 
 
+class TestReverseEdges:
+    def test_add_reverse(self):
+        from temp_tpu.data.snapshots import add_reverse_edges
+
+        q = np.array([[1, 0, 2, 5], [3, 2, 4, 6]], np.int64)
+        out = add_reverse_edges(q, num_rels=3)
+        assert len(out) == 4
+        # reverse of (1, r0, 2) is (2, r0+3, 1) at the same time
+        assert (out[2] == [2, 3, 1, 5]).all()
+        assert (out[3] == [4, 5, 3, 6]).all()
+
+
 class TestRealDataset:
     def test_icews14_loads(self):
         cfg = TKGConfig()

@@ -153,6 +153,7 @@ class TestForward:
             dict(num_layers=2),
             dict(score_function="distmult"),
             dict(score_function="transE"),
+            dict(rec_only_last_layer=True, post_ensemble=True, impute=True),
         ]:
             cfg = small_cfg(module="GRRGCN", **flags)
             model = get_model(cfg, data)
@@ -160,6 +161,28 @@ class TestForward:
             loss = model.loss(params, data, jnp.asarray([4, 6], jnp.int32),
                               jnp.asarray([True, True]), jax.random.PRNGKey(1))
             assert np.isfinite(float(loss)), flags
+
+    def test_sargcn_ema_and_variants(self, data):
+        for module, flags in [
+            ("SARGCN", dict(ema=True)),
+            ("BiSARGCN", dict(ema=True)),
+            ("SARGCN", dict(rec_only_last_layer=True)),
+            ("SARGCN", dict(learnable_lambda=True)),
+            ("BiGRRGCN", dict(type1=True)),
+            ("BiGRRGCN", dict(num_layers=2)),
+            ("BiGRRGCN", dict(learnable_lambda=True, use_time_embedding=True)),
+        ]:
+            cfg = small_cfg(module=module, **flags)
+            model = get_model(cfg, data)
+            params = model.init_params(jax.random.PRNGKey(0))
+            loss = model.loss(params, data, jnp.asarray([4, 6], jnp.int32),
+                              jnp.asarray([True, True]), jax.random.PRNGKey(1))
+            assert np.isfinite(float(loss)), (module, flags)
+            ranks, mask, _ = model.eval_ranks(
+                params, data, jnp.asarray([4, 6], jnp.int32),
+                jnp.asarray([True, True]), "valid")
+            r = np.asarray(ranks)[np.asarray(mask)]
+            assert (r >= 1).all() and (r <= data.num_ents).all(), (module, flags)
 
     def test_invalid_batch_element_zero_loss(self, data):
         cfg = small_cfg(module="GRRGCN")

@@ -78,6 +78,27 @@ def test_sharded_eval_ranks_identical(setup):
                                   np.asarray(ranks_ref)[np.asarray(mask_ref)])
 
 
+def test_edge_partitioned_spmm_matches_single_device():
+    from temp_tpu.ops.segment import rel_spmm
+    from temp_tpu.parallel.edge_partition import rel_spmm_edge_partitioned
+
+    rng = np.random.RandomState(11)
+    N, d, R2, E = 40, 16, 8, 64  # E divisible by the model axis
+    h = jnp.asarray(rng.randn(N, d).astype(np.float32))
+    src = jnp.asarray(rng.randint(0, N, E).astype(np.int32))
+    dst = jnp.asarray(rng.randint(0, N, E).astype(np.int32))
+    rel = jnp.asarray(rng.randint(0, R2, E).astype(np.int32))
+    emask = jnp.asarray(np.arange(E) < 50)
+    w = jnp.asarray(rng.randn(R2, d).astype(np.float32))
+
+    ref = rel_spmm(h, src, dst, rel, emask, w, d, d, N, method="segment")
+    mesh = make_mesh(1, 8)
+    out = rel_spmm_edge_partitioned(h, src, dst, rel, emask, w, d, d, N,
+                                    mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_train_step_updates_stay_replicated(setup):
     from temp_tpu.train.optim import make_optimizer
     import optax

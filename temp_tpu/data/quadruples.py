@@ -24,6 +24,11 @@ def load_quadruples(dataset_path: str, *filenames: str) -> Tuple[np.ndarray, np.
         if fname is None:
             continue
         path = os.path.join(dataset_path, fname)
+        if not os.path.exists(path):
+            # partial dataset snapshots (e.g. gdelt/icews05-15 train splits
+            # absent per /root/reference/.MISSING_LARGE_BLOBS) — treat the
+            # missing split as empty rather than failing
+            continue
         arr = None
         try:  # native fast path (~100x np.loadtxt on GDELT-scale files)
             from temp_tpu.data.native import parse_quads

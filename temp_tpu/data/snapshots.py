@@ -222,6 +222,11 @@ def build_tkg_data_from_quads(
 ) -> TKGData:
     """Assemble TKGData from raw quadruple arrays (host-side numpy)."""
     total_q = np.concatenate([train_q, valid_q, test_q], axis=0)
+    if len(total_q) == 0:
+        raise ValueError(
+            "dataset has no quadruples in any split (this repository snapshot "
+            "ships some datasets without their large files; see "
+            ".MISSING_LARGE_BLOBS in the dataset directory)")
     times = np.unique(total_q[:, 3])
     T = len(times)
 

@@ -75,7 +75,9 @@ def attention_over_history(p, cfg: TKGConfig, cur: jnp.ndarray,
     scores = scores + attn_mask.T[:, None, :]                # [N, 1, L]
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nhl,lnhd->nhd", attn, v)
-    return out.reshape(N, d)
+    # the reference merges heads in [d_k, heads] order — calc_result's
+    # transpose(1,2) BEFORE the view (SARGCN.py:36) — replicated exactly
+    return jnp.swapaxes(out, 1, 2).reshape(N, d)
 
 
 def ema_over_history(alpha_logit: jnp.ndarray, cur: jnp.ndarray,

@@ -172,6 +172,43 @@ class TestRGCNLayerParity:
         np.testing.assert_allclose(out[7], iso, rtol=1e-5, atol=1e-6)
 
 
+class TestAttentionParity:
+    def test_attention_matches_torch_oracle(self):
+        """SARGCN attention (SARGCN.py:25-53): 8-head QKV over
+        [history..., current] with additive mask, softmax over time."""
+        from temp_tpu.models.selfattn import attention_over_history
+
+        rng = np.random.RandomState(8)
+        Nn, dd, S = 6, 16, 3  # 16 dims, 8 heads -> d_k = 2
+        cur = rng.randn(Nn, dd).astype(np.float32)
+        hist = rng.randn(S, Nn, dd).astype(np.float32)
+        mask = np.where(rng.rand(S + 1, Nn) > 0.4, 0.0, -10e9).astype(np.float32)
+        mask[-1] = 0.0
+        wq = rng.randn(dd, dd).astype(np.float32)
+        wk = rng.randn(dd, dd).astype(np.float32)
+        wv = rng.randn(dd, dd).astype(np.float32)
+        p = {"q_linear": jnp.asarray(wq), "k_linear": jnp.asarray(wk),
+             "v_linear": jnp.asarray(wv)}
+        cfg = TKGConfig(embed_size=dd, learnable_lambda=False)
+        td = jnp.arange(S, -1, -1, dtype=jnp.float32)
+        ours = np.asarray(attention_over_history(
+            p, cfg, jnp.asarray(cur), jnp.asarray(hist), td, jnp.asarray(mask)))
+
+        # torch oracle per the reference equations (bs=N, seq across time)
+        h_heads, dk = 8, dd // 8
+        allt = torch.tensor(np.concatenate([np.transpose(hist, (1, 0, 2)),
+                                            cur[:, None, :]], axis=1))  # [N,S+1,d]
+        q = (torch.tensor(cur) @ torch.tensor(wq).T).view(Nn, 1, h_heads, dk).transpose(1, 2)
+        k = (allt @ torch.tensor(wk).T).view(Nn, S + 1, h_heads, dk).transpose(1, 2)
+        v = (allt @ torch.tensor(wv).T).view(Nn, S + 1, h_heads, dk).transpose(1, 2)
+        scores = torch.matmul(q, k.transpose(-2, -1)) / np.sqrt(dk)
+        normalised = torch.softmax(
+            scores.squeeze(2) + torch.tensor(mask.T).unsqueeze(1), dim=-1)
+        out = torch.matmul(normalised.unsqueeze(2), v).squeeze(2)
+        oracle = out.transpose(1, 2).reshape(Nn, dd).numpy()
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
 class TestLossParity:
     def test_ce_loss_matches_torch(self):
         rng = np.random.RandomState(6)

@@ -72,29 +72,17 @@ def rel_spmm_pallas(h, src, dst, rel, emask, weight, num_ents: int,
     """Diagonal-relation SpMM: h [N,d], weight [R2,d] -> agg [N,d]."""
     N, d = num_ents, h.shape[-1]
     assert weight.shape[-1] == d, "pallas kernel requires n_bases == d"
-    smem = (pltpu.SMEM if (_HAS_PLTPU and not interpret) else None)
-
-    def spec(space):
-        if space is None:
-            return pl.BlockSpec(memory_space=None) if False else pl.BlockSpec()
-        return pl.BlockSpec(memory_space=space)
-
-    in_specs = [
-        pl.BlockSpec(memory_space=smem) if smem else pl.BlockSpec(),  # src
-        pl.BlockSpec(memory_space=smem) if smem else pl.BlockSpec(),  # dst
-        pl.BlockSpec(memory_space=smem) if smem else pl.BlockSpec(),  # rel
-        pl.BlockSpec(memory_space=smem) if smem else pl.BlockSpec(),  # emask
-        pl.BlockSpec(memory_space=pltpu.VMEM) if _HAS_PLTPU else pl.BlockSpec(),  # h
-        pl.BlockSpec(memory_space=pltpu.VMEM) if _HAS_PLTPU else pl.BlockSpec(),  # w
-    ]
-    scratch = ([pltpu.VMEM((N, 1), jnp.float32)] if _HAS_PLTPU and not interpret
-               else [pltpu.VMEM((N, 1), jnp.float32)] if _HAS_PLTPU else [])
+    assert _HAS_PLTPU, "pallas TPU backend unavailable"
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM if not interpret else None)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM if not interpret else None)
+    in_specs = [smem_spec, smem_spec, smem_spec, smem_spec,  # src/dst/rel/emask
+                vmem_spec, vmem_spec]                        # h, w
+    scratch = [pltpu.VMEM((N, 1), jnp.float32)]
     return pl.pallas_call(
         _spmm_kernel,
         out_shape=jax.ShapeDtypeStruct((N, d), h.dtype),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM) if _HAS_PLTPU
-                   else pl.BlockSpec()),
+        out_specs=vmem_spec,
         scratch_shapes=scratch,
         interpret=interpret,
     )(src.astype(jnp.int32), dst.astype(jnp.int32), rel.astype(jnp.int32),

@@ -81,18 +81,17 @@ def distmult_all(s, r, o_table, mode):
 
 
 def transe_all(s, r, o_table, mode, chunk=512):
-    """TransE has no matmul form; broadcast in query chunks to bound memory."""
-    if mode == "tail":
-        q = s + r
-        sign = 1.0
-    else:
-        q = s - r  # head: score = -|cand + r - o| = -|cand - (o - r)|
-        sign = 1.0
+    """TransE has no matmul form; broadcast in query chunks to bound memory.
+
+    tail: score[p,c] = -|s_p + r_p - cand_c|; head: -|cand_c + r_p - o_p|
+    = -|cand_c - (o_p - r_p)| (reference utils/scores.py:47-55).
+    """
+    q = s + r if mode == "tail" else s - r  # in head mode `s` is the fixed o
     P = q.shape[0]
     out = []
     for i in range(0, P, chunk):
         qc = q[i:i + chunk]
-        out.append(-jnp.sum(jnp.abs(qc[:, None, :] - sign * o_table[None]), -1))
+        out.append(-jnp.sum(jnp.abs(qc[:, None, :] - o_table[None]), -1))
     return jnp.concatenate(out, 0)
 
 

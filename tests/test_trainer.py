@@ -1,0 +1,58 @@
+"""End-to-end Trainer tests on synthetic data (CPU)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import make_synthetic
+from temp_tpu.models.registry import get_model
+from temp_tpu.train.loop import Trainer, batched_time_positions, load_checkpoint_params
+
+
+@pytest.fixture(scope="module")
+def data():
+    return jax.device_put(make_synthetic(num_ents=25, num_rels=4, num_times=8,
+                                         edges_per_time=20, edge_pad_multiple=16))
+
+
+def test_fit_eval_checkpoint_roundtrip(tmp_path, data):
+    cfg = TKGConfig(module="SRGCN", embed_size=16, hidden_size=16, n_bases=4,
+                    batch_size=4, negative_rate=8, neg_oversample=8,
+                    num_pos_facts=50, patience=2, seed=0,
+                    experiments_dir=str(tmp_path))
+    model = get_model(cfg, data)
+    trainer = Trainer(cfg, model, data, run_dir=str(tmp_path / "run"))
+    result = trainer.fit(max_epochs=3)
+    assert result["best_epoch"] >= 0
+    assert os.path.exists(trainer.ckpt_path())
+    assert os.path.exists(os.path.join(trainer.run_dir, "config.json"))
+    assert os.path.exists(os.path.join(trainer.run_dir, "metrics.jsonl"))
+
+    # restore and evaluate -> same metrics as recorded
+    cfg2, params2, blob = load_checkpoint_params(trainer.run_dir)
+    assert cfg2.module == "SRGCN"
+    m = trainer.run_eval(params2, "valid")
+    np.testing.assert_allclose(m["mrr"], blob["metrics"]["mrr"], rtol=1e-5)
+
+
+def test_fast_dev_run(tmp_path, data):
+    cfg = TKGConfig(module="GRRGCN", embed_size=16, hidden_size=16, n_bases=4,
+                    train_seq_len=3, batch_size=4, negative_rate=8,
+                    neg_oversample=8, num_pos_facts=50, fast_dev_run=True,
+                    experiments_dir=str(tmp_path))
+    model = get_model(cfg, data)
+    trainer = Trainer(cfg, model, data, run_dir=str(tmp_path / "fdr"))
+    result = trainer.fit()
+    # one batch through train + one full val pass, then stop (main.py:131)
+    assert len(result["history"]) == 1
+
+
+def test_batched_time_positions_cover_all():
+    seen = []
+    for t_pos, t_valid in batched_time_positions(10, 4, None):
+        assert len(t_pos) == 4
+        seen.extend(t_pos[t_valid].tolist())
+    assert sorted(seen) == list(range(10))

@@ -259,7 +259,10 @@ def build_tkg_data_from_quads(
     # compact active sets + local edge coordinates for the train split
     max_active = max(1, int(active.sum(axis=1).max()))
     a_pad = _round_up(max_active, min(edge_pad_multiple, 128))
-    act_idx = np.zeros((T, a_pad), np.int32)
+    # padding slots use the out-of-bounds sentinel num_ents: gathers clamp
+    # harmlessly and history scatters use mode='drop' so padding can never
+    # alias (and clobber) a real entity row
+    act_idx = np.full((T, a_pad), num_ents, np.int32)
     act_mask = np.zeros((T, a_pad), bool)
     src_loc = np.zeros((T, e_pad_train), np.int32)
     dst_loc = np.zeros((T, e_pad_train), np.int32)
@@ -305,7 +308,7 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
     path = cfg.dataset_path
     num_ents, num_rels, _ = load_stat(path)
     key = hashlib.md5(
-        f"{path}:{cfg.edge_pad_multiple}:v2".encode()
+        f"{path}:{cfg.edge_pad_multiple}:v3".encode()
     ).hexdigest()[:16]
     cache_file = os.path.join(_CACHE_DIR, f"tkg_{os.path.basename(path)}_{key}.npz")
     if cache and os.path.exists(cache_file):

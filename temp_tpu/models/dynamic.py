@@ -170,10 +170,13 @@ class DynamicRGCNModel:
                 params, h0, snap, hist1[a_idx], hist2[a_idx], dt, train,
                 step_key, direction=direction)
             upd = (a_mask & sa["valid"])[:, None]
-            hist1 = hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx]))
-            hist2 = hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx]))
+            hist1 = hist1.at[a_idx].set(
+                jnp.where(upd, out1, hist1[a_idx]), mode="drop")
+            hist2 = hist2.at[a_idx].set(
+                jnp.where(upd, out2, hist2[a_idx]), mode="drop")
             last_pos = last_pos.at[a_idx].set(
-                jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]))
+                jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
+                mode="drop")
             return (hist1, hist2, last_pos), None
 
         L1 = length - 1

@@ -143,11 +143,15 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
                 step_key, direction=direction)
             upd = (a_mask & sa["valid"])[:, None]
             return (
-                hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx])),
-                hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx])),
-                hist_loc.at[a_idx].set(jnp.where(upd, local2, hist_loc[a_idx])),
+                hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx]),
+                                    mode="drop"),
+                hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx]),
+                                    mode="drop"),
+                hist_loc.at[a_idx].set(jnp.where(upd, local2, hist_loc[a_idx]),
+                                       mode="drop"),
                 last_pos.at[a_idx].set(
-                    jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx])),
+                    jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
+                    mode="drop"),
             ), None
 
         L1 = length - 1

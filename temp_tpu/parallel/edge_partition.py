@@ -56,3 +56,100 @@ def rel_spmm_edge_partitioned(
         out_specs=P(),
     )
     return shard(local)(h, src, dst, rel, emask, weight)
+
+
+def ring_rel_spmm(
+    h: jnp.ndarray,       # [N, d] — will be row-sharded over `axis`
+    src: jnp.ndarray,     # [E] GLOBAL src ids, edges grouped by dst owner
+    dst: jnp.ndarray,     # [E] GLOBAL dst ids
+    rel: jnp.ndarray,
+    emask: jnp.ndarray,
+    weight: jnp.ndarray,
+    n_bases: int,
+    d_out: int,
+    num_ents: int,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Memory-scaling SpMM: entity states AND output sharded over the mesh.
+
+    Each device owns a contiguous row shard of h and ALL edges whose dst lands
+    in its shard (caller must pre-group edges by dst owner — see
+    `group_edges_by_dst_owner`). The src states it needs live on other
+    devices, so the h shards rotate around the ring (`lax.ppermute` over ICI);
+    at ring step k a device aggregates the messages whose src belongs to the
+    visiting shard, overlapping the next permute with local aggregation (XLA's
+    latency-hiding scheduler pipelines the collective against the segment
+    sums). M steps visit every shard once.
+
+    Degrees are exact without communication: dst ownership means every edge
+    into a local row is local. This is the boundary-embedding exchange of
+    SURVEY §2.8 expressed with XLA collectives; per-device memory is
+    O(N/M * d) for states vs O(N * d) replicated.
+    """
+    M = mesh.shape[axis]
+    assert num_ents % M == 0, "pad num_ents to a multiple of the model axis"
+    rows = num_ents // M
+    d_in = h.shape[-1]
+
+    def shard_fn(h_loc, src, dst, rel, emask, weight):
+        me = jax.lax.axis_index(axis)
+        dst_loc = dst - me * rows  # local row of each owned edge
+        deg = segment_sum(emask.astype(jnp.float32), dst_loc, rows)
+        norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+        edge_scale = (norm[dst_loc] * emask.astype(h_loc.dtype))[:, None]
+
+        def ring_step(k, carry):
+            h_visit, acc = carry
+            owner = (me + k) % M  # shard id currently resident in h_visit
+            sel = (src // rows) == owner
+            local_src = jnp.where(sel, src - owner * rows, 0)
+            msg = rel_message(h_visit[local_src], rel, weight, n_bases,
+                              d_in, d_out)
+            msg = msg * edge_scale * sel[:, None]
+            acc = acc + segment_sum(msg, dst_loc, rows)
+            perm = [(i, (i - 1) % M) for i in range(M)]  # pull next shard
+            h_next = jax.lax.ppermute(h_visit, axis, perm)
+            return (h_next, acc)
+
+        acc0 = jnp.zeros((rows, d_out), h_loc.dtype)
+        if hasattr(jax.lax, "pcast"):
+            # mark the accumulator as varying over the mesh axis so the
+            # fori_loop carry type matches the per-device accumulation
+            acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
+        _, acc = jax.lax.fori_loop(0, M, ring_step, (h_loc, acc0))
+        return acc * norm[:, None]
+
+    shard = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    return shard(shard_fn)(h, src, dst, rel, emask, weight)
+
+
+def group_edges_by_dst_owner(src, dst, rel, emask, num_ents: int, m: int):
+    """Host-side prep: reorder+pad edges so each device's shard-contiguous
+    slice contains exactly the edges whose dst row it owns."""
+    import numpy as np
+
+    src, dst, rel, emask = map(np.asarray, (src, dst, rel, emask))
+    rows = num_ents // m
+    owner = dst // rows
+    buckets = [np.nonzero((owner == i) & emask)[0] for i in range(m)]
+    cap = max(1, max(len(b) for b in buckets))
+    E_new = m * cap
+    out = dict(
+        src=np.zeros(E_new, np.int32), dst=np.zeros(E_new, np.int32),
+        rel=np.zeros(E_new, np.int32), emask=np.zeros(E_new, bool),
+    )
+    for i, b in enumerate(buckets):
+        s = i * cap
+        out["src"][s:s + len(b)] = src[b]
+        out["dst"][s:s + len(b)] = dst[b]
+        out["rel"][s:s + len(b)] = rel[b]
+        out["emask"][s:s + len(b)] = True
+        # padding rows must still be owned by shard i for dst_loc validity
+        out["dst"][s + len(b):s + cap] = i * rows
+    return out["src"], out["dst"], out["rel"], out["emask"]

@@ -99,6 +99,33 @@ def test_edge_partitioned_spmm_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_ring_spmm_matches_single_device():
+    """Entity-sharded ring SpMM == dense single-device result."""
+    from temp_tpu.ops.segment import rel_spmm
+    from temp_tpu.parallel.edge_partition import (
+        group_edges_by_dst_owner, ring_rel_spmm,
+    )
+
+    rng = np.random.RandomState(12)
+    N, d, R2, E, M = 64, 16, 8, 100, 8
+    h = jnp.asarray(rng.randn(N, d).astype(np.float32))
+    src = rng.randint(0, N, E).astype(np.int32)
+    dst = rng.randint(0, N, E).astype(np.int32)
+    rel = rng.randint(0, R2, E).astype(np.int32)
+    emask = np.arange(E) < 90
+    w = jnp.asarray(rng.randn(R2, d).astype(np.float32))
+
+    ref = rel_spmm(h, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
+                   jnp.asarray(emask), w, d, d, N, method="segment")
+
+    gs, gd, gr, gm = group_edges_by_dst_owner(src, dst, rel, emask, N, M)
+    mesh = make_mesh(1, M)
+    out = ring_rel_spmm(h, jnp.asarray(gs), jnp.asarray(gd), jnp.asarray(gr),
+                        jnp.asarray(gm), w, d, d, N, mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_train_step_updates_stay_replicated(setup):
     from temp_tpu.train.optim import make_optimizer
     import optax

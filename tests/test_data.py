@@ -118,6 +118,17 @@ class TestReverseEdges:
 
 
 class TestRealDataset:
+    def test_id_maps(self):
+        cfg = TKGConfig()
+        if not os.path.exists(cfg.dataset_path):
+            pytest.skip("no reference dataset")
+        from temp_tpu.data.quadruples import load_id_maps
+
+        id2ent, id2rel = load_id_maps(cfg.dataset_path, 230)
+        assert len(id2ent) == 7128
+        assert len(id2rel) == 460  # forward + `_inv` names (dataset.py:308-323)
+        assert id2rel[231].endswith("_inv")
+
     def test_icews14_loads(self):
         cfg = TKGConfig()
         if not os.path.exists(cfg.dataset_path):

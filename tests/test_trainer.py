@@ -50,6 +50,20 @@ def test_fast_dev_run(tmp_path, data):
     assert len(result["history"]) == 1
 
 
+def test_determinism_same_seed_same_loss(data):
+    cfg = TKGConfig(module="GRRGCN", embed_size=16, hidden_size=16, n_bases=4,
+                    train_seq_len=3, batch_size=4, negative_rate=8,
+                    neg_oversample=8, num_pos_facts=50, seed=7)
+    losses = []
+    for _ in range(2):
+        model = get_model(cfg, data)
+        params = model.init_params(jax.random.PRNGKey(cfg.seed))
+        loss = model.loss(params, data, jax.numpy.asarray([3, 5, 6, 7]),
+                          jax.numpy.ones(4, bool), jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert losses[0] == losses[1]
+
+
 def test_batched_time_positions_cover_all():
     seen = []
     for t_pos, t_valid in batched_time_positions(10, 4, None):

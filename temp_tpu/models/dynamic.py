@@ -90,7 +90,6 @@ class DynamicRGCNModel:
         self.drop_past = self.drop_future = None
         if cfg.edge_dropout:
             # frequency-driven DropEdge (DynamicRGCN.py:25-27, utils/DropEdge.py)
-            import jax as _jax
             from temp_tpu.data.frequency import build_freq_features
             freq = build_freq_features(
                 data, cfg.train_seq_len, future=cfg.module.startswith("Bi"),
@@ -99,8 +98,8 @@ class DynamicRGCNModel:
                 lambda_3=cfg.lambda_3, with_drop_rates=True,
                 cache_key=f"{cfg.dataset}:{data.num_ents}:{data.num_times}",
             )
-            self.drop_past = _jax.device_put(jnp.asarray(freq.drop_rate_past))
-            self.drop_future = _jax.device_put(jnp.asarray(freq.drop_rate_future))
+            self.drop_past = jax.device_put(jnp.asarray(freq.drop_rate_past))
+            self.drop_future = jax.device_put(jnp.asarray(freq.drop_rate_future))
 
     # -- parameters ---------------------------------------------------------
 

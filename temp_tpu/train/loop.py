@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from temp_tpu.config import TKGConfig, encode_run_name
 from temp_tpu.data.snapshots import TKGData
@@ -76,8 +77,46 @@ class Trainer:
         def eval_step(params, data, t_pos, t_valid, split):
             return model.eval_ranks(params, data, t_pos, t_valid, split)
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_epoch(params, opt_state, data, t_pos_all, t_valid_all, rng):
+            """All batches of one epoch under a single dispatch (lax.scan).
+
+            One executable launch per EPOCH instead of per step — essential
+            when the accelerator is remote-attached and per-launch RPC
+            latency would otherwise dominate (and generally removes host
+            jitter from the step loop)."""
+            def body(carry, xs):
+                params, opt_state = carry
+                t_pos, t_valid, step_rng = xs
+                def loss_fn(p):
+                    return model.loss(p, data, t_pos, t_valid, step_rng)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            n = t_pos_all.shape[0]
+            rngs = jax.random.split(rng, n)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (t_pos_all, t_valid_all, rngs))
+            return params, opt_state, losses
+
+        @partial(jax.jit, static_argnames=("split",))
+        def eval_epoch(params, data, t_pos_all, t_valid_all, split):
+            def body(_, xs):
+                t_pos, t_valid = xs
+                ranks, mask, bce = model.eval_ranks(params, data, t_pos,
+                                                    t_valid, split)
+                return None, (ranks, mask, bce)
+
+            _, (ranks, mask, bces) = jax.lax.scan(
+                body, None, (t_pos_all, t_valid_all))
+            return ranks, mask, bces
+
         self.train_step = train_step
         self.eval_step = eval_step
+        self.train_epoch = train_epoch
+        self.eval_epoch = eval_epoch
 
     def init_state(self, seed: Optional[int] = None):
         key = jax.random.PRNGKey(seed if seed is not None else self.cfg.seed)
@@ -85,21 +124,20 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
+    @staticmethod
+    def _stack_batches(num_times: int, batch_size: int, rng):
+        pos, valid = zip(*batched_time_positions(num_times, batch_size, rng))
+        return np.stack(pos), np.stack(valid)
+
     def run_eval(self, params, split: str = "valid") -> Dict[str, Any]:
-        # keep everything on device until the end: each host sync pays a full
-        # round trip (expensive over remote-attached TPUs)
-        all_ranks, all_masks, losses = [], [], []
-        for t_pos, t_valid in batched_time_positions(
-                self.data.num_times, self.cfg.batch_size, None):
-            ranks, mask, bce = self.eval_step(
-                params, self.data, jnp.asarray(t_pos), jnp.asarray(t_valid), split)
-            all_ranks.append(ranks)
-            all_masks.append(mask)
-            losses.append(bce)
-        all_ranks = [np.asarray(r) for r in all_ranks]
-        all_masks = [np.asarray(m) for m in all_masks]
-        m = metrics_from_ranks(np.concatenate(all_ranks), np.concatenate(all_masks))
-        m["loss"] = float(np.mean([float(x) for x in losses]))
+        # single fused dispatch for the whole eval sweep
+        t_pos_all, t_valid_all = self._stack_batches(
+            self.data.num_times, self.cfg.batch_size, None)
+        ranks, mask, bces = self.eval_epoch(
+            params, self.data, jnp.asarray(t_pos_all), jnp.asarray(t_valid_all),
+            split)
+        m = metrics_from_ranks(np.asarray(ranks), np.asarray(mask))
+        m["loss"] = float(np.mean(np.asarray(bces)))
         return m
 
     def fit(self, params=None, opt_state=None, max_epochs: Optional[int] = None,
@@ -117,20 +155,19 @@ class Trainer:
 
         for epoch in range(max_epochs):
             t0 = time.time()
-            epoch_losses = []
-            for t_pos, t_valid in batched_time_positions(
-                    self.data.num_times, cfg.batch_size, np_rng):
-                rng, step_key = jax.random.split(rng)
-                params, opt_state, loss = self.train_step(
-                    params, opt_state, self.data, jnp.asarray(t_pos),
-                    jnp.asarray(t_valid), step_key)
-                epoch_losses.append(loss)  # device scalar; sync at epoch end
-                if cfg.fast_dev_run:
-                    break
-                if cfg.debug and len(epoch_losses) >= max(
-                        1, self.data.num_times // cfg.batch_size // 10):
-                    break  # --debug trains on ~10% of batches (main.py:133-135)
-            epoch_losses = [float(x) for x in epoch_losses]
+            t_pos_all, t_valid_all = self._stack_batches(
+                self.data.num_times, cfg.batch_size, np_rng)
+            if cfg.fast_dev_run:
+                t_pos_all, t_valid_all = t_pos_all[:1], t_valid_all[:1]
+            elif cfg.debug:
+                # --debug trains on ~10% of batches (main.py:133-135)
+                k = max(1, len(t_pos_all) // 10)
+                t_pos_all, t_valid_all = t_pos_all[:k], t_valid_all[:k]
+            rng, epoch_key = jax.random.split(rng)
+            params, opt_state, losses = self.train_epoch(
+                params, opt_state, self.data, jnp.asarray(t_pos_all),
+                jnp.asarray(t_valid_all), epoch_key)
+            epoch_losses = np.asarray(losses).tolist()
             train_time = time.time() - t0
 
             t1 = time.time()

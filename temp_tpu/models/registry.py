@@ -41,6 +41,9 @@ def get_model(cfg: TKGConfig, data: TKGData):
     if module == "SRGCN":
         from temp_tpu.models.static import StaticRGCNModel
         return StaticRGCNModel(cfg, data)
+    if module == "DRGCN":
+        from temp_tpu.models.static import DRGCNModel
+        return DRGCNModel(cfg, data)
     if module in ("Static", "DE", "Hyte", "SimplE", "ATiSE"):
         from temp_tpu.models.baselines import get_baseline
         return get_baseline(cfg, data)

@@ -25,6 +25,9 @@ from temp_tpu.ops.scores import get_score_fn
 class StaticRGCNModel:
     def __init__(self, cfg: TKGConfig, data: TKGData):
         self.cfg = cfg.replace(module="SRGCN")
+        self._init(cfg, data)
+
+    def _init(self, cfg: TKGConfig, data: TKGData):
         self.num_ents = data.num_ents
         self.num_rels = data.num_rels
         self.num_times = data.num_times
@@ -39,6 +42,9 @@ class StaticRGCNModel:
             "encoder": init_encoder(k3, self.cfg, self.num_rels, self.num_times),
         }
 
+    def input_embeddings(self, params, t_pos):
+        return params["ent_embeds"]
+
     def forward_element(self, params, data: TKGData, t_pos, train: bool, rng):
         tr = data.train
         emask = tr.emask[t_pos]
@@ -49,12 +55,13 @@ class StaticRGCNModel:
             src=tr.src[t_pos], dst=tr.dst[t_pos], rel=tr.rel[t_pos], emask=emask,
             t_idx=t_pos, valid=jnp.asarray(True), active=data.active[t_pos],
         )
+        h0 = self.input_embeddings(params, t_pos)
         _, out2 = static_rgcn_forward(
             params["encoder"], self.cfg, self.lc1, self.lc2,
-            params["ent_embeds"], snap, train, k_fwd,
+            h0, snap, train, k_fwd,
         )
         if self.cfg.use_embed_for_non_active:
-            out2 = jnp.where(snap.active[:, None], out2, params["ent_embeds"])
+            out2 = jnp.where(snap.active[:, None], out2, h0)
         return out2
 
     def loss(self, params, data: TKGData, t_pos, t_valid, rng):
@@ -90,3 +97,25 @@ class StaticRGCNModel:
         has_q = jnp.sum(mask, axis=1) > 0
         mean_bce = jnp.sum(bces * has_q) / jnp.maximum(jnp.sum(has_q), 1)
         return ranks, mask, mean_bce
+
+
+class DRGCNModel(StaticRGCNModel):
+    """DRGCN: StaticRGCN with sinusoidal per-entity time features on the input
+    (reference baselines/DRGCN.py:10-60 — legacy, unreachable from the
+    reference CLI and bit-rotted there; implemented as intended)."""
+
+    def __init__(self, cfg: TKGConfig, data: TKGData):
+        self.cfg = cfg.replace(module="SRGCN")
+        self._init(cfg, data)
+
+    def init_params(self, key) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        p = super().init_params(k1)
+        k3, k4 = jax.random.split(k2)
+        p["w_ent"] = xavier_uniform(k3, (self.num_ents, self.cfg.embed_size), RELU_GAIN)
+        p["b_ent"] = xavier_uniform(k4, (self.num_ents, self.cfg.embed_size), RELU_GAIN)
+        return p
+
+    def input_embeddings(self, params, t_pos):
+        t = t_pos.astype(params["ent_embeds"].dtype)
+        return params["ent_embeds"] + jnp.sin(t * params["w_ent"] + params["b_ent"])

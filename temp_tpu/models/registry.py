@@ -44,7 +44,11 @@ def get_model(cfg: TKGConfig, data: TKGData):
     if module == "DRGCN":
         from temp_tpu.models.static import DRGCNModel
         return DRGCNModel(cfg, data)
-    if module in ("Static", "DE", "Hyte", "SimplE", "ATiSE"):
+    if module in ("Static", "DE", "Hyte", "SimplE", "Simple", "ATiSE", "AtiSE"):
+        # accept both the reference CLI names ("Simple", main.py:43) and the
+        # class-style names
+        cfg = cfg.replace(module={"Simple": "SimplE", "AtiSE": "ATiSE"}.get(
+            cfg.module, cfg.module))
         from temp_tpu.models.baselines import get_baseline
         return get_baseline(cfg, data)
     if module == "Aggregator":

@@ -32,6 +32,10 @@ def bench(fn, *args, iters=50):
 
 
 def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +44,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--quick", action="store_true", help="small shapes only (CPU sanity)")
     args = ap.parse_args()
 
     shapes = [
@@ -51,6 +56,8 @@ def main():
     results = []
     rng = np.random.RandomState(0)
     on_tpu = jax.devices()[0].platform != "cpu"
+    if args.quick or not on_tpu:
+        shapes = shapes[:2]
     for name, N, E, R2, d in shapes:
         h = jnp.asarray(rng.randn(N, d).astype(np.float32))
         src = jnp.asarray(rng.randint(0, N, E).astype(np.int32))

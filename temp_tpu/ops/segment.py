@@ -90,7 +90,9 @@ def rel_spmm(
         # On TPU, expressing gather/scatter as one-hot MXU matmuls beats
         # XLA's serial row gather/scatter when the one-hot tiles are small;
         # above the threshold the matmul FLOPs dominate and the row path wins.
-        method = "onehot" if E * num_ents <= (1 << 22) else "segment"
+        # On CPU (tests) the row path always wins.
+        on_tpu = jax.default_backend() == "tpu"
+        method = "onehot" if (on_tpu and E * num_ents <= (1 << 22)) else "segment"
     if method == "onehot":
         return _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases,
                                 d_out, num_ents, norm)

@@ -16,7 +16,7 @@ equivalent since their parameters receive no gradient either way.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

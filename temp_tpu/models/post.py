@@ -30,8 +30,6 @@ lacks forward_post_ensemble/impute paths and would crash; we assert instead).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -111,6 +111,22 @@ class TKGConfig:
     mp_size: int = 1       # model axis: entity/edge partitioning
 
     @property
+    def hot_dtype(self):
+        """jnp dtype for hot-path contractions, or None to stay in f32.
+
+        Consumed by training candidate scoring (ops/scores.py), the relational
+        SpMM (ops/segment.py) and the GRU cells (ops/gru.py); accumulations
+        and losses always stay f32. The reference runs end-to-end f32 CUDA;
+        bf16 matmul inputs are the TPU-native equivalent of its tensor-core
+        path and leave val MRR unchanged (results/round2/).
+        """
+        if self.compute_dtype in ("float32", "f32", None):
+            return None
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.compute_dtype)
+
+    @property
     def dataset_path(self) -> str:
         # reference configs store dataset already joined with the dir
         # ("interpolation/icews14", main.py:30-32 overlay after process_args)

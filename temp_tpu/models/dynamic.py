@@ -137,11 +137,13 @@ class DynamicRGCNModel:
         the updates back. Inactive entities never update history — identical
         semantics, ~N/A_t times less matmul work per step.
         """
+        from temp_tpu.parallel.mesh import shard_entity
+
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
-        hist1 = jnp.zeros((N, d))
-        hist2 = jnp.zeros((N, d))
-        last_pos = jnp.zeros((N,), jnp.float32)
+        hist1 = shard_entity(jnp.zeros((N, d)))
+        hist2 = shard_entity(jnp.zeros((N, d)))
+        last_pos = shard_entity(jnp.zeros((N,), jnp.float32))
 
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
         use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
@@ -176,7 +178,10 @@ class DynamicRGCNModel:
             last_pos = last_pos.at[a_idx].set(
                 jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
                 mode="drop")
-            return (hist1, hist2, last_pos), None
+            # keep the dense history row-sharded across scan steps (the
+            # compact [A, d] gather/scatter above all-gathers only A rows)
+            return (shard_entity(hist1), shard_entity(hist2),
+                    shard_entity(last_pos)), None
 
         L1 = length - 1
         rates = (drop_rates[:L1] if use_drop_edge
@@ -229,7 +234,8 @@ class DynamicRGCNModel:
             # diachronic inputs here, via the input_embeddings hook)
             out2 = jnp.where(snap.active[:, None], out2,
                              self.input_embeddings(params, snap.t_idx))
-        return out2
+        from temp_tpu.parallel.mesh import shard_entity
+        return shard_entity(out2)
 
     # -- objectives ---------------------------------------------------------
 

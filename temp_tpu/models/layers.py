@@ -106,6 +106,13 @@ def _dropout(rng, x, rate: float, train: bool):
     return jnp.where(mask, x / keep, 0.0)
 
 
+def _matmul(x, w, dtype):
+    """x @ w with optional low-precision inputs, f32 accumulation."""
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def rgcn_conv(
     p, cfg: TKGConfig, lc: LayerCfg, h: jnp.ndarray, snap: Snapshot,
     train: bool, rng,
@@ -119,12 +126,13 @@ def rgcn_conv(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
+        dtype=cfg.hot_dtype,
     )
     out = agg
     if lc.bias:
         out = out + p["h_bias"]
     if lc.self_loop:
-        loop = h @ p["loop_weight"]
+        loop = _matmul(h, p["loop_weight"], cfg.hot_dtype)
         loop = _dropout(rng, loop, lc.dropout, train)
         out = out + loop
     return _activation(lc.activation, out)
@@ -164,8 +172,8 @@ def init_grrgcn_layer(key, cfg: TKGConfig, lc: LayerCfg, bidirectional: bool = F
 
 def _run_gru(cfg: TKGConfig, gru_params, x, h0):
     if cfg.type1:
-        return type1_gru_cell(gru_params[0], x, h0)
-    return gru_stack(gru_params, x, h0)
+        return type1_gru_cell(gru_params[0], x, h0, dtype=cfg.hot_dtype)
+    return gru_stack(gru_params, x, h0, dtype=cfg.hot_dtype)
 
 
 def grrgcn_layer(
@@ -213,13 +221,14 @@ def rrgcn_layer(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
+        dtype=cfg.hot_dtype,
     )
     wname = {"fwd": "time_weight_fwd", "bwd": "time_weight_bwd", None: "time_weight"}[direction]
-    out = agg + (prev @ p[wname]) * decay_factor(p, cfg, dt)
+    out = agg + _matmul(prev, p[wname], cfg.hot_dtype) * decay_factor(p, cfg, dt)
     if lc.bias:
         out = out + p["h_bias"]
     if lc.self_loop:
-        loop = _dropout(rng, h @ p["loop_weight"], lc.dropout, train)
+        loop = _dropout(rng, _matmul(h, p["loop_weight"], cfg.hot_dtype), lc.dropout, train)
         out = out + loop
     out = _activation(lc.activation, out)
     return agg, out, layer_time_embedding(p, snap)
@@ -235,14 +244,16 @@ def birrgcn_layer_center(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
+        dtype=cfg.hot_dtype,
     )
     adj_f = prev_f * decay_factor(p, cfg, dt_f)
     adj_b = prev_b * decay_factor(p, cfg, dt_b)
-    out = agg + adj_f @ p["time_weight_fwd"] + adj_b @ p["time_weight_bwd"]
+    out = (agg + _matmul(adj_f, p["time_weight_fwd"], cfg.hot_dtype)
+           + _matmul(adj_b, p["time_weight_bwd"], cfg.hot_dtype))
     if lc.bias:
         out = out + p["h_bias"]
     if lc.self_loop:
-        loop = _dropout(rng, h @ p["loop_weight"], lc.dropout, train)
+        loop = _dropout(rng, _matmul(h, p["loop_weight"], cfg.hot_dtype), lc.dropout, train)
         out = out + loop
     out = _activation(lc.activation, out)
     return agg, out, layer_time_embedding(p, snap)

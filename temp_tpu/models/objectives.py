@@ -51,7 +51,8 @@ def train_loss_single(
         k_tail, data.train_tail.grp[t_pos], data.train_tail.val[t_pos],
         grp_tail, dst, data.num_ents, cfg.negative_rate, cfg.neg_oversample,
     )
-    sc_tail = score_candidates_all(score_all_fn, table[src], r_emb, table, cand_tail, "tail")
+    sc_tail = score_candidates_all(score_all_fn, table[src], r_emb, table,
+                                   cand_tail, "tail", dtype=cfg.hot_dtype)
     ce_tail = -jax.nn.log_softmax(sc_tail, axis=-1)[:, 0]
 
     # head corruption
@@ -60,7 +61,8 @@ def train_loss_single(
         k_head, data.train_head.grp[t_pos], data.train_head.val[t_pos],
         grp_head, src, data.num_ents, cfg.negative_rate, cfg.neg_oversample,
     )
-    sc_head = score_candidates_all(score_all_fn, table[dst], r_emb, table, cand_head, "head")
+    sc_head = score_candidates_all(score_all_fn, table[dst], r_emb, table,
+                                   cand_head, "head", dtype=cfg.hot_dtype)
     ce_head = -jax.nn.log_softmax(sc_head, axis=-1)[:, 0]
 
     return _masked_mean(ce_tail, pos_mask) + _masked_mean(ce_head, pos_mask)
@@ -85,12 +87,15 @@ def eval_ranks_single(
     r2 = 2 * data.num_rels
     r_emb = rel_embeds[rel]
 
-    sc_tail = score_all_fn(table[src], r_emb, table, "tail")   # [Q, N]
+    from temp_tpu.parallel.mesh import shard_entity
+
+    sc_tail = shard_entity(
+        score_all_fn(table[src], r_emb, table, "tail"), 1)     # [Q, N]
     ranks_tail = filtered_ranks(
         sc_tail, dst, data.total_tail.grp[t_pos], data.total_tail.val[t_pos],
         src * r2 + rel,
     )
-    sc_head = score_all_fn(table[dst], r_emb, table, "head")
+    sc_head = shard_entity(score_all_fn(table[dst], r_emb, table, "head"), 1)
     ranks_head = filtered_ranks(
         sc_head, src, data.total_head.grp[t_pos], data.total_head.val[t_pos],
         dst * r2 + rel,

@@ -112,11 +112,15 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
                         train: bool, rng, direction=None, drop_rates=None):
         """pre_forward carrying the extra local-embedding history
         (ImputeDynamicRGCN.pre_forward, PostDynamicRGCN.py:60-79)."""
+        from temp_tpu.parallel.mesh import shard_entity
+
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
         ent = params["ent_embeds"]
-        carry0 = (jnp.zeros((N, d)), jnp.zeros((N, d)), jnp.zeros((N, d)),
-                  jnp.zeros((N,), jnp.float32))
+        carry0 = jax.tree_util.tree_map(
+            shard_entity,
+            (jnp.zeros((N, d)), jnp.zeros((N, d)), jnp.zeros((N, d)),
+             jnp.zeros((N,), jnp.float32)))
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
         use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
 
@@ -140,7 +144,7 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
                 ent[a_idx], snap, hist1[a_idx], hist2[a_idx], dt, train,
                 step_key, direction=direction)
             upd = (a_mask & sa["valid"])[:, None]
-            return (
+            return jax.tree_util.tree_map(shard_entity, (
                 hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx]),
                                     mode="drop"),
                 hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx]),
@@ -150,7 +154,7 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
                 last_pos.at[a_idx].set(
                     jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
                     mode="drop"),
-            ), None
+            )), None
 
         L1 = length - 1
         rates = (drop_rates[:L1] if use_drop_edge

@@ -160,7 +160,11 @@ class SelfAttentionRGCNModel(DynamicRGCNModel):
 
         h1, h2 = jax.vmap(one)(jnp.arange(L1), keys)          # [L-1, N, d]
         mask = jnp.where(win.active[:L1] & win.valid[:L1, None], 0.0, NEG_MASK)
-        return h1, h2, mask
+        # shard the [L-1, N, d] attention history over the entity axis — the
+        # tensor behind the reference's 186 GB-host requirement on icews05-15
+        # (launcher_15_sargcn.sh:2-8, SURVEY §5.7)
+        from temp_tpu.parallel.mesh import shard_entity
+        return shard_entity(h1, 1), shard_entity(h2, 1), shard_entity(mask, 1)
 
     def _time_diff(self, length: int):
         # SelfAttentionRGCN.py:22-23: [L-1, ..., 1, 0]

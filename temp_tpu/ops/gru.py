@@ -35,10 +35,17 @@ def init_gru_params(key, input_size: int, hidden_size: int, num_layers: int = 1)
     return params
 
 
-def gru_cell(p, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def _mm(x, w, dtype):
+    """x @ w.T with optional low-precision inputs, f32 accumulation."""
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32)
+
+
+def gru_cell(p, x: jnp.ndarray, h: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """One standard GRU step. x: [N, in], h: [N, H] -> [N, H]."""
-    gi = x @ p["w_ih"].T + p["b_ih"]
-    gh = h @ p["w_hh"].T + p["b_hh"]
+    gi = _mm(x, p["w_ih"], dtype) + p["b_ih"]
+    gh = _mm(h, p["w_hh"], dtype) + p["b_hh"]
     H = h.shape[-1]
     i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
     h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
@@ -48,7 +55,7 @@ def gru_cell(p, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - z) * n + z * h
 
 
-def gru_stack(params, x: jnp.ndarray, h0: jnp.ndarray) -> jnp.ndarray:
+def gru_stack(params, x: jnp.ndarray, h0: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Multi-layer GRU, sequence length 1, same initial hidden for each layer.
 
     Mirrors the reference's `rnn(input.unsqueeze(0), prev.expand(num_layers, ...))`
@@ -58,7 +65,7 @@ def gru_stack(params, x: jnp.ndarray, h0: jnp.ndarray) -> jnp.ndarray:
     h = None
     inp = x
     for p in params:
-        h = gru_cell(p, inp, h0)
+        h = gru_cell(p, inp, h0, dtype=dtype)
         inp = h
     return h
 
@@ -74,7 +81,7 @@ def init_type1_gru_params(key, input_size: int, hidden_size: int):
     }
 
 
-def type1_gru_cell(p, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def type1_gru_cell(p, x: jnp.ndarray, h: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Reference models/GRU_cell.py:18-31, gates from hidden only:
 
     i_n = x W_ih^T + b_ih                   (input contributes to candidate only)
@@ -83,8 +90,8 @@ def type1_gru_cell(p, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     new = tanh(i_n + reset * h_n)
     h' = new + input * (h - new)
     """
-    i_n = x @ p["w_ih"].T + p["b_ih"]
-    gh = h @ p["w_hh"].T + p["b_hh"]
+    i_n = _mm(x, p["w_ih"], dtype) + p["b_ih"]
+    gh = _mm(h, p["w_hh"], dtype) + p["b_hh"]
     H = h.shape[-1]
     h_r, h_i, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
     reset = jax.nn.sigmoid(h_r)

@@ -1,12 +1,19 @@
 """Knowledge-graph decoders: ComplEx / DistMult / TransE / SimplE.
 
-Same math as reference utils/scores.py:4-55, with a TPU-critical difference in
-*how* candidate scoring is computed: instead of gathering candidate embedding
-rows into a [P, C, d] tensor (the reference materializes
-`all_embeds_g[neg_samples]`, models/TKG_Module.py:206), bilinear decoders score
-against the FULL entity table with one MXU matmul [P, d] x [d, N] and then
-gather the [P, C] candidate columns — far less HBM traffic and it feeds the
-systolic array.
+Same math as reference utils/scores.py:4-55, with TPU-critical differences in
+*how* scores are computed:
+
+- All-entity scoring (eval) folds the per-query transform into one MXU matmul
+  [P, d] x [d, N] against the full table — every bilinear decoder reduces to
+  `qhat @ table.T` for a decoder-specific `query_transform` (the reference
+  broadcasts [P, 1, d] * [N, d] elementwise, utils/scores.py:31-38).
+- Candidate scoring (training, [P, C] sampled negatives) also scores the full
+  table with one matmul and lane-gathers the candidate columns. In isolation
+  a row-gather einsum wins 27x (benchmarks/hotspots.py), but inside the
+  vmapped fused-epoch step the full matmul wins ~8% end-to-end — XLA batches
+  it into one [B*P, d] x [d, N] MXU op across the vmap (see
+  score_candidates_all). The reference gathers rows
+  (models/TKG_Module.py:206) via dynamic-shape CUDA kernels.
 
 Modes follow the reference convention:
   - 'tail': s, r fixed per query; candidates on o.
@@ -53,31 +60,43 @@ def simple_single(s, s_inv, r, r_inv, o, o_inv):
     return (sc1 + sc2) / 2
 
 
-# --- all-entity scores: [P, d] queries x [N, d] table -> [P, N] -------------
+# --- query transforms: qhat such that score[p, n] = qhat[p] . table[n] ------
 
-def complex_all(s, r, o_table, mode):
+def complex_qhat(s, r, mode):
     s_re, s_im = _split(s)
     r_re, r_im = _split(r)
-    t_re, t_im = _split(o_table)
     if mode == "tail":
         # reference utils/scores.py:31-34
         re_sc = s_re * r_re - s_im * r_im
         im_sc = s_re * r_im + s_im * r_re
-        return re_sc @ t_re.T + im_sc @ t_im.T
     elif mode == "head":
         # here `s` plays the role of the fixed tail o (reference :35-38);
-        # candidates are heads drawn from o_table.
+        # candidates are heads drawn from the table.
         o_re, o_im = s_re, s_im
         re_sc = r_re * o_re + r_im * o_im
         im_sc = r_re * o_im - r_im * o_re
-        return re_sc @ t_re.T + im_sc @ t_im.T
-    raise ValueError(mode)
+    else:
+        raise ValueError(mode)
+    return jnp.concatenate([re_sc, im_sc], axis=-1)
+
+
+def distmult_qhat(s, r, mode):
+    # tail: sum((s*r)[:,None] * o), head: sum(cand * (r*o)[:,None])
+    # (reference utils/scores.py:6-9); both reduce to one contraction.
+    return s * r
+
+
+_QHAT_FNS = {"complex": complex_qhat, "distmult": distmult_qhat}
+
+
+# --- all-entity scores: [P, d] queries x [N, d] table -> [P, N] -------------
+
+def complex_all(s, r, o_table, mode):
+    return complex_qhat(s, r, mode) @ o_table.T
 
 
 def distmult_all(s, r, o_table, mode):
-    # tail: sum((s*r)[:,None] * o), head: sum(cand * (r*o)[:,None])
-    # (reference utils/scores.py:6-9); both reduce to one matmul.
-    return (s * r) @ o_table.T
+    return distmult_qhat(s, r, mode) @ o_table.T
 
 
 def transe_all(s, r, o_table, mode, chunk=512):
@@ -113,6 +132,16 @@ def get_score_fn(name: str):
     return _ALL_FNS[name], _SINGLE_FNS[name]
 
 
+# reverse lookup so score_candidates_all can pick the row-gather fast path
+# without changing its historical (score_all_fn, ...) call signature
+_FN_TO_NAME = {fn: name for name, fn in _ALL_FNS.items()}
+
+# benchmarking knob: force a candidate-scoring strategy ("rowgather"/"full");
+# isolated-op winners are not always winners inside the vmapped epoch
+import os as _os
+_CAND_OVERRIDE = _os.environ.get("TEMP_TPU_CAND_METHOD") or None
+
+
 def score_candidates_all(
     score_all_fn: Callable,
     q_ent: jnp.ndarray,     # [P, d] fixed entity per query (s for tail, o for head)
@@ -120,10 +149,45 @@ def score_candidates_all(
     table: jnp.ndarray,     # [N, d] candidate entity table
     candidates: jnp.ndarray,  # [P, C] int32 global candidate ids
     mode: str,
+    dtype=None,             # compute dtype for the contraction (e.g. bf16)
 ) -> jnp.ndarray:
-    """Score [P, C] candidates by scoring all N entities (MXU) then gathering."""
+    """Score [P, C] candidates by scoring all N entities (MXU) then gathering.
+
+    Strategy choice is settled by whole-epoch A/B on the real chip, NOT by
+    isolated-op microbenchmarks: in benchmarks/hotspots.py the row-gather
+    einsum wins 27x fwd in isolation, but inside the vmapped fused-epoch
+    training step the full [P, d] x [d, N] matmul + lane gather is ~8% faster
+    end-to-end (2.30e5 vs 2.12e5 edges/s, v5e 2026-08-17) — XLA batches the
+    [B*P, d] x [d, N] contraction across the vmap into one large MXU op,
+    while per-element row gathers serialize. `TEMP_TPU_CAND_METHOD=rowgather`
+    keeps the alternative measurable. With `dtype=bfloat16` the matmul
+    operands are cast once (f32 accumulation).
+    """
+    name = _FN_TO_NAME.get(score_all_fn)
+    if _CAND_OVERRIDE == "rowgather" and name is not None:
+        if name in _QHAT_FNS:
+            qhat = _QHAT_FNS[name](q_ent, q_rel, mode)      # [P, d]
+            rows = table[candidates]                         # [P, C, d]
+            if dtype is not None:
+                qhat, rows = qhat.astype(dtype), rows.astype(dtype)
+            return jnp.einsum("pd,pcd->pc", qhat, rows,
+                              preferred_element_type=jnp.float32)
+        if name == "transE":
+            q = q_ent + q_rel if mode == "tail" else q_ent - q_rel
+            rows = table[candidates]
+            if dtype is not None:
+                q, rows = q.astype(dtype), rows.astype(dtype)
+            return -jnp.sum(jnp.abs(q[:, None, :] - rows), -1,
+                            dtype=jnp.float32)
     from temp_tpu.parallel.mesh import constrain
 
-    full = score_all_fn(q_ent, q_rel, table, mode)  # [P, N]
+    if name in _QHAT_FNS:
+        qhat = _QHAT_FNS[name](q_ent, q_rel, mode)          # [P, d]
+        tbl = table
+        if dtype is not None:
+            qhat, tbl = qhat.astype(dtype), tbl.astype(dtype)
+        full = jnp.dot(qhat, tbl.T, preferred_element_type=jnp.float32)
+    else:  # transE / gated wrappers: decoder-specific full scoring
+        full = score_all_fn(q_ent, q_rel, table, mode)      # [P, N]
     full = constrain(full, None, "model")  # shard entity axis across chips
     return jnp.take_along_axis(full, candidates, axis=1)

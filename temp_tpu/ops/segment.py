@@ -13,8 +13,14 @@ kernel drop-in lives in temp_tpu/ops/pallas_spmm.py for the hot path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# benchmarking knob: force a rel_spmm path regardless of the auto heuristic
+# (the isolated-op winner is not always the winner inside the vmapped epoch)
+_METHOD_OVERRIDE = os.environ.get("TEMP_TPU_SPMM_METHOD") or None
 
 
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
@@ -68,6 +74,7 @@ def rel_spmm(
     d_out: int,
     num_ents: int,
     method: str = "auto",
+    dtype=None,
 ) -> jnp.ndarray:
     """Full RGCN neighborhood aggregation with the reference's double degree
     normalization.
@@ -85,17 +92,35 @@ def rel_spmm(
     """
     d_in = h.shape[-1]
     E = src.shape[0]
-    norm = in_degree_norm(dst, emask, num_ents)  # [N]
     if method == "auto":
-        # On TPU, expressing gather/scatter as one-hot MXU matmuls beats
-        # XLA's serial row gather/scatter when the one-hot tiles are small;
-        # above the threshold the matmul FLOPs dominate and the row path wins.
-        # On CPU (tests) the row path always wins.
+        # The decision is settled by whole-epoch A/B on the real chip, not by
+        # isolated-op timings. Isolated (benchmarks/hotspots.py, v5e, d=128
+        # diagonal): segment wins the sparse shapes (row DMA at the HBM
+        # roofline — icews14 final N=7128/E=512: 3.5 us vs onehot 12.4), and
+        # onehot wins edge-dominated GDELT (E=4992/N=512: bf16 MXU roofline).
+        # In-context (bench.py fused epoch, vmapped over the batch, v5e
+        # 2026-08-17): onehot 2.30e5 edges/s vs segment 2.02e5 — XLA batches
+        # the one-hot matmuls across the vmap while per-element row
+        # gather/scatter serializes. So on TPU prefer onehot until the
+        # [E, N] one-hot operands get too big for fusion to pay
+        # (E*N > 2^22 ≈ 32 MB f32); CPU (tests) always rows. The fused Pallas
+        # kernel (ops/pallas_spmm.py) stays available via method="pallas" but
+        # XLA beats it at production shapes. TEMP_TPU_SPMM_METHOD overrides
+        # for A/B.
         on_tpu = jax.default_backend() == "tpu"
-        method = "onehot" if (on_tpu and E * num_ents <= (1 << 22)) else "segment"
+        method = _METHOD_OVERRIDE or (
+            "onehot" if (on_tpu and E * num_ents <= (1 << 22)) else "segment")
+    if method == "pallas":
+        from temp_tpu.ops.pallas_spmm import rel_spmm_pallas
+        return rel_spmm_pallas(h, src, dst, rel, emask, weight, num_ents,
+                               dtype=dtype)
+    norm = in_degree_norm(dst, emask, num_ents)  # [N]
     if method == "onehot":
         return _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases,
-                                d_out, num_ents, norm)
+                                d_out, num_ents, norm, dtype)
+    # NOTE: `dtype` is deliberately ignored here — the row path is HBM/DMA
+    # bound (no matmuls when diagonal), and measured bf16 casts make it
+    # SLOWER (14.1 us vs 3.5 us fwd at the icews14 final shape).
     h_src = h[src]
     msg = rel_message(h_src, rel, weight, n_bases, d_in, d_out)
     msg = msg * (norm[dst] * emask.astype(h.dtype))[:, None]
@@ -104,20 +129,27 @@ def rel_spmm(
 
 
 def _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases, d_out,
-                     num_ents, norm):
+                     num_ents, norm, dtype=None):
     """Gather/scatter as one-hot matmuls on the MXU (see rel_spmm).
 
-    One-hot entries are exact in any float dtype; Precision.HIGHEST keeps the
-    gathered values and scatter sums at f32 accuracy (bf16x6 passes), so this
-    path is numerically interchangeable with the row gather/scatter path.
+    One-hot entries are exact in any float dtype. In the default f32 mode
+    Precision.HIGHEST keeps the gathered values and scatter sums at f32
+    accuracy (bf16x6 passes), so the path is numerically interchangeable with
+    the row gather/scatter path; with a low-precision `dtype` the operands are
+    cast once and the matmuls run single-pass with f32 accumulation.
     """
     d_in = h.shape[-1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = None if dtype is not None else jax.lax.Precision.HIGHEST
+    cdt = dtype or h.dtype
     rows = jnp.arange(num_ents, dtype=src.dtype)
-    gather = (src[:, None] == rows[None, :]).astype(h.dtype)    # [E, N]
-    h_src = jnp.dot(gather, h, precision=hi)
+    gather = (src[:, None] == rows[None, :]).astype(cdt)    # [E, N]
+    h_src = jnp.dot(gather, h.astype(cdt), precision=hi,
+                    preferred_element_type=jnp.float32)
+    if dtype is not None:
+        h_src, weight = h_src.astype(dtype), weight.astype(dtype)
     msg = rel_message(h_src, rel, weight, n_bases, d_in, d_out)
-    msg = msg * (norm[dst] * emask.astype(h.dtype))[:, None]
-    scatter = (dst[:, None] == rows[None, :]).astype(h.dtype)   # [E, N]
-    agg = jnp.dot(scatter.T, msg, precision=hi)
+    msg = msg.astype(cdt) * (norm[dst] * emask.astype(jnp.float32))[:, None].astype(cdt)
+    scatter = (dst[:, None] == rows[None, :]).astype(cdt)   # [E, N]
+    agg = jnp.dot(scatter.T, msg, precision=hi,
+                  preferred_element_type=jnp.float32)
     return agg * norm[:, None]

@@ -53,6 +53,26 @@ def constrain(x, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(_ACTIVE, P(*spec)))
 
 
+def shard_entity(x, axis: int = 0):
+    """Constrain dimension `axis` (the entity dimension) of x to the `model`
+    mesh axis; other dims unconstrained. No-op without an active mesh or with
+    a size-1 model axis, so single-chip runs pay nothing.
+
+    This is the GSPMD counterpart of the reference's 186 GB-host problem
+    (launcher_15_sargcn.sh:2-8): the [L-1, 2, N, d] attention history, the
+    recurrent [N, d] history tables, and the [Q, N] eval score matrices are
+    all row-sharded over entities, and XLA inserts the all-gathers/psums over
+    ICI where a computation needs remote rows (SURVEY §5.7). Composes with
+    vmap: the batch dimension is added outside `axis` bookkeeping.
+    """
+    if _ACTIVE is None or _ACTIVE.shape.get("model", 1) == 1:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = "model"
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACTIVE, P(*spec)))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

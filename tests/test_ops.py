@@ -256,9 +256,11 @@ class TestScores:
         out = np.asarray(score_candidates_all(complex_all, jnp.asarray(s), jnp.asarray(r),
                                               jnp.asarray(table), cand, "tail"))
         full = np.asarray(complex_all(jnp.asarray(s), jnp.asarray(r), jnp.asarray(table), "tail"))
+        # the row-gather fast path contracts per-row (einsum) rather than via
+        # the full [P, N] matmul, so summation order differs by ~1 ulp
         for p in range(4):
             for j in range(2):
-                assert out[p, j] == full[p, int(cand[p, j])]
+                assert abs(out[p, j] - full[p, int(cand[p, j])]) < 1e-5
 
 
 class TestSpmmVariants:
@@ -296,6 +298,27 @@ class TestSpmmVariants:
                               num_ents=N, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_pallas_kernel_gradients_match_segment(self):
+        from temp_tpu.ops.pallas_spmm import rel_spmm_pallas
+
+        N, d, src, dst, rel, emask, h, w = self._setup()
+        j = lambda x: jnp.asarray(x)
+
+        def loss_pallas(h_, w_):
+            return (rel_spmm_pallas(h_, j(src), j(dst), j(rel), j(emask), w_,
+                                    num_ents=N, interpret=True) ** 2).sum()
+
+        def loss_seg(h_, w_):
+            return (rel_spmm(h_, j(src), j(dst), j(rel), j(emask), w_,
+                             d, d, N, method="segment") ** 2).sum()
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(j(h), j(w))
+        gs = jax.grad(loss_seg, argnums=(0, 1))(j(h), j(w))
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                                   rtol=1e-4, atol=1e-5)
 
 
 class TestNorm:

@@ -57,13 +57,33 @@ def main(argv=None):
     from temp_tpu.models.registry import get_model
     from temp_tpu.train.loop import Trainer
 
+    mesh = None
+    mesh_ctx = None
+    if cfg.distributed or cfg.dp_size > 1 or cfg.mp_size > 1:
+        # DDP equivalent (reference utils/args.py:12, launcher_2gpu.sh):
+        # one global mesh over every process's chips; batch of target times
+        # sharded over `data`, entity axis over `model`.
+        import jax
+        from temp_tpu.parallel import multihost
+        from temp_tpu.parallel.mesh import use_mesh
+        if cfg.distributed:
+            multihost.initialize_from_env()
+            print(f"distributed: process {jax.process_index()}/"
+                  f"{jax.process_count()}, {jax.device_count()} global devices")
+            mesh = multihost.global_data_mesh(mp=cfg.mp_size)
+        else:
+            from temp_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(cfg.dp_size, cfg.mp_size)
+        mesh_ctx = use_mesh(mesh)
+        mesh_ctx.__enter__()
+
     print(f"config: module={cfg.module} dataset={cfg.dataset} "
           f"seq_len={cfg.train_seq_len} neg={cfg.negative_rate}")
     data = build_tkg_data(cfg)
     print(f"data: {data.num_ents} entities, {data.num_rels} relations, "
           f"{data.num_times} timestamps, train edge pad {data.train.src.shape[1]}")
     model = get_model(cfg, data)
-    trainer = Trainer(cfg, model, data)
+    trainer = Trainer(cfg, model, data, mesh=mesh)
     params = opt_state = None
     if cfg.resume and os.path.exists(trainer.ckpt_path()):
         # re-attach to the existing run and restore the best checkpoint
@@ -74,13 +94,28 @@ def main(argv=None):
     result = trainer.fit(params, opt_state)
     print(f"best val mrr {result['best_mrr']:.4f} @ epoch {result['best_epoch']}")
 
-    # final test evaluation with the best checkpoint
-    params, _, blob = trainer.load_checkpoint()
+    # final test evaluation with the best checkpoint (primary reads it from
+    # disk and broadcasts — other hosts may not share the filesystem)
+    import jax as _jax
+    if _jax.process_count() > 1:
+        import os as _os
+        if trainer._is_primary() or _os.path.exists(trainer.ckpt_path()):
+            params, _, blob = trainer.load_checkpoint()
+        else:
+            params = result["params"]
+        from jax.experimental import multihost_utils
+        params = multihost_utils.broadcast_one_to_all(
+            _jax.tree_util.tree_map(trainer._to_np, params))
+    else:
+        params, _, blob = trainer.load_checkpoint()
     test = trainer.run_eval(params, "test")
     print(f"test: mrr={test['mrr']:.4f} h1={test['hit_1']:.4f} "
           f"h3={test['hit_3']:.4f} h10={test['hit_10']:.4f}")
-    with open(f"{trainer.run_dir}/test_metrics.json", "w") as f:
-        json.dump(test, f, indent=2)
+    if trainer._is_primary():
+        with open(f"{trainer.run_dir}/test_metrics.json", "w") as f:
+            json.dump(test, f, indent=2)
+    if mesh_ctx is not None:
+        mesh_ctx.__exit__(None, None, None)
     return 0
 
 

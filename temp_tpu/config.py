@@ -109,6 +109,10 @@ class TKGConfig:
     # -- parallelism (new; reference only had DDP: utils/args.py:12) --------
     dp_size: int = 1       # data-parallel size over target-time batches
     mp_size: int = 1       # model axis: entity/edge partitioning
+    distributed: bool = False  # multi-process: jax.distributed + global mesh
+    #   (DDP equivalent of reference --distributed_backend ddp; coordinator
+    #    via TEMP_TPU_COORDINATOR/NUM_PROCS/PROC_ID env or TPU-pod autodetect;
+    #    see temp_tpu/parallel/multihost.py)
 
     @property
     def hot_dtype(self):

@@ -51,18 +51,53 @@ def batched_time_positions(num_times: int, batch_size: int, rng: Optional[np.ran
 
 class Trainer:
     def __init__(self, cfg: TKGConfig, model, data: TKGData,
-                 run_dir: Optional[str] = None):
+                 run_dir: Optional[str] = None, mesh=None):
+        """`mesh` (optional jax.sharding.Mesh with a `data` axis) enables
+        SPMD data parallelism over the batch of target timestamps — the
+        reference's DDP + DistributedSampler (models/TKG_Module.py:162-179)
+        — including multi-process meshes from jax.distributed (see
+        temp_tpu/parallel/multihost.py). Params/data are replicated, the
+        batch axis is sharded, and XLA inserts the gradient psum."""
         self.cfg = cfg
         self.model = model
-        self.data = jax.device_put(data)
+        self.mesh = mesh
+        if mesh is not None:
+            from temp_tpu.parallel.mesh import replicated
+            self.data = jax.device_put(data, replicated(mesh))
+        else:
+            self.data = jax.device_put(data)
         self.optimizer = make_optimizer(cfg)
         self.run_dir = run_dir or os.path.join(
             cfg.experiments_dir, cfg.model_name or encode_run_name(cfg))
         self.history: list = []
         self._build_steps()
 
+    def _is_primary(self) -> bool:
+        return jax.process_index() == 0
+
+    def _put_batches(self, t_pos_all: np.ndarray, t_valid_all: np.ndarray):
+        """Device-put the [n_batches, B] epoch schedule, sharding B over the
+        mesh `data` axis when one is active. In multi-process meshes each
+        process holds the same schedule (shared seed) and contributes only
+        its addressable columns."""
+        if self.mesh is None:
+            return jnp.asarray(t_pos_all), jnp.asarray(t_valid_all)
+        from jax.sharding import PartitionSpec as P
+        from temp_tpu.parallel.multihost import put_global
+        spec = P(None, "data")
+        return (put_global(np.asarray(t_pos_all), self.mesh, spec),
+                put_global(np.asarray(t_valid_all), self.mesh, spec))
+
     def _build_steps(self):
         model, optimizer = self.model, self.optimizer
+        # With an active mesh, pin every jit OUTPUT to fully-replicated: the
+        # losses/ranks must be readable on every process (multi-host), and
+        # params/opt_state stay replicated across the data axis (DDP).
+        repl = None
+        if self.mesh is not None:
+            from temp_tpu.parallel.mesh import replicated
+            repl = replicated(self.mesh)
+        out_kw = {"out_shardings": repl} if repl is not None else {}
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, data, t_pos, t_valid, rng):
@@ -77,7 +112,7 @@ class Trainer:
         def eval_step(params, data, t_pos, t_valid, split):
             return model.eval_ranks(params, data, t_pos, t_valid, split)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1), **out_kw)
         def train_epoch(params, opt_state, data, t_pos_all, t_valid_all, rng):
             """All batches of one epoch under a single dispatch (lax.scan).
 
@@ -101,7 +136,7 @@ class Trainer:
                 body, (params, opt_state), (t_pos_all, t_valid_all, rngs))
             return params, opt_state, losses
 
-        @partial(jax.jit, static_argnames=("split",))
+        @partial(jax.jit, static_argnames=("split",), **out_kw)
         def eval_epoch(params, data, t_pos_all, t_valid_all, split):
             def body(_, xs):
                 t_pos, t_valid = xs
@@ -122,7 +157,18 @@ class Trainer:
         key = jax.random.PRNGKey(seed if seed is not None else self.cfg.seed)
         params = self.model.init_params(key)
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from temp_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(self.mesh))
+            opt_state = jax.device_put(opt_state, replicated(self.mesh))
         return params, opt_state
+
+    def _to_np(self, x) -> np.ndarray:
+        """np.asarray that also works for replicated multi-process arrays."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from temp_tpu.parallel.multihost import fetch_replicated
+        return fetch_replicated(x)
 
     @staticmethod
     def _stack_batches(num_times: int, batch_size: int, rng):
@@ -133,11 +179,10 @@ class Trainer:
         # single fused dispatch for the whole eval sweep
         t_pos_all, t_valid_all = self._stack_batches(
             self.data.num_times, self.cfg.batch_size, None)
-        ranks, mask, bces = self.eval_epoch(
-            params, self.data, jnp.asarray(t_pos_all), jnp.asarray(t_valid_all),
-            split)
-        m = metrics_from_ranks(np.asarray(ranks), np.asarray(mask))
-        m["loss"] = float(np.mean(np.asarray(bces)))
+        tp, tv = self._put_batches(t_pos_all, t_valid_all)
+        ranks, mask, bces = self.eval_epoch(params, self.data, tp, tv, split)
+        m = metrics_from_ranks(self._to_np(ranks), self._to_np(mask))
+        m["loss"] = float(np.mean(self._to_np(bces)))
         return m
 
     def fit(self, params=None, opt_state=None, max_epochs: Optional[int] = None,
@@ -145,13 +190,18 @@ class Trainer:
         cfg = self.cfg
         if params is None:
             params, opt_state = self.init_state()
+        elif self.mesh is not None:
+            from temp_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(self.mesh))
+            opt_state = jax.device_put(opt_state, replicated(self.mesh))
         np_rng = np.random.RandomState(cfg.seed)
         rng = jax.random.PRNGKey(cfg.seed)
         best_mrr, best_epoch = -1.0, -1
         max_epochs = max_epochs or cfg.max_nb_epochs
-        os.makedirs(self.run_dir, exist_ok=True)
-        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
-            f.write(cfg.to_json())
+        if self._is_primary():
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+                f.write(cfg.to_json())
 
         for epoch in range(max_epochs):
             t0 = time.time()
@@ -164,10 +214,13 @@ class Trainer:
                 k = max(1, len(t_pos_all) // 10)
                 t_pos_all, t_valid_all = t_pos_all[:k], t_valid_all[:k]
             rng, epoch_key = jax.random.split(rng)
+            tp, tv = self._put_batches(t_pos_all, t_valid_all)
+            if self.mesh is not None:
+                from temp_tpu.parallel.mesh import replicated
+                epoch_key = jax.device_put(epoch_key, replicated(self.mesh))
             params, opt_state, losses = self.train_epoch(
-                params, opt_state, self.data, jnp.asarray(t_pos_all),
-                jnp.asarray(t_valid_all), epoch_key)
-            epoch_losses = np.asarray(losses).tolist()
+                params, opt_state, self.data, tp, tv, epoch_key)
+            epoch_losses = self._to_np(losses).tolist()
             train_time = time.time() - t0
 
             t1 = time.time()
@@ -178,8 +231,9 @@ class Trainer:
                 "eval_s": round(time.time() - t1, 2),
             }
             self.history.append(rec)
-            with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if self._is_primary():
+                with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+                    f.write(json.dumps(rec) + "\n")
             log_fn(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
                    f"val_mrr={val['mrr']:.4f} h1={val['hit_1']:.4f} "
                    f"h3={val['hit_3']:.4f} h10={val['hit_10']:.4f} "
@@ -205,11 +259,13 @@ class Trainer:
         return os.path.join(self.run_dir, "checkpoints", "best.ckpt")
 
     def save_checkpoint(self, params, opt_state, epoch: int, metrics: Dict):
+        if not self._is_primary():
+            return
         path = self.ckpt_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         blob = {
-            "params": jax.tree_util.tree_map(np.asarray, params),
-            "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+            "params": jax.tree_util.tree_map(self._to_np, params),
+            "opt_state": jax.tree_util.tree_map(self._to_np, opt_state),
             "epoch": epoch,
             "metrics": metrics,
         }

@@ -308,7 +308,7 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
     path = cfg.dataset_path
     num_ents, num_rels, _ = load_stat(path)
     key = hashlib.md5(
-        f"{path}:{cfg.edge_pad_multiple}:v3".encode()
+        f"{path}:{cfg.dataset_dir}:{cfg.edge_pad_multiple}:v4".encode()
     ).hexdigest()[:16]
     cache_file = os.path.join(_CACHE_DIR, f"tkg_{os.path.basename(path)}_{key}.npz")
     if cache and os.path.exists(cache_file):
@@ -318,6 +318,19 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
     train_q, _ = load_quadruples(path, "train.txt")
     valid_q, _ = load_quadruples(path, "valid.txt")
     test_q, _ = load_quadruples(path, "test.txt")
+    if cfg.dataset_dir == "extrapolation":
+        # Extrapolation mode (reference main.py:37-39 dispatches on
+        # dataset_dir == 'extrapolation'): snapshots carry BOTH edge
+        # directions, the reverse with relation id rel + num_rels
+        # (get_big_graph, utils/dataset.py:63-110), unlike interpolation
+        # graphs which store forward edges only (utils/dataset.py:186).
+        # icews14 quirk replicated: the dev split is the test split
+        # (utils/dataset.py:126-128).
+        if cfg.dataset == "icews14":
+            valid_q = test_q.copy()
+        train_q = add_reverse_edges(train_q, num_rels)
+        valid_q = add_reverse_edges(valid_q, num_rels)
+        test_q = add_reverse_edges(test_q, num_rels)
     data = build_tkg_data_from_quads(
         train_q, valid_q, test_q, num_ents, num_rels, cfg.edge_pad_multiple
     )

@@ -84,7 +84,10 @@ class Trainer:
             return jnp.asarray(t_pos_all), jnp.asarray(t_valid_all)
         from jax.sharding import PartitionSpec as P
         from temp_tpu.parallel.multihost import put_global
-        spec = P(None, "data")
+        # batch axis must divide the data axis to be sharded; otherwise fall
+        # back to a replicated schedule (correct, just no DP split)
+        dp = self.mesh.shape.get("data", 1)
+        spec = P(None, "data") if t_pos_all.shape[1] % dp == 0 else P()
         return (put_global(np.asarray(t_pos_all), self.mesh, spec),
                 put_global(np.asarray(t_valid_all), self.mesh, spec))
 
@@ -259,34 +262,50 @@ class Trainer:
         return os.path.join(self.run_dir, "checkpoints", "best.ckpt")
 
     def save_checkpoint(self, params, opt_state, epoch: int, metrics: Dict):
+        # every process materializes host numpy (local reads of replicated
+        # shards, no collectives); only rank 0 touches the filesystem
+        host_params = jax.tree_util.tree_map(self._to_np, params)
+        host_opt = jax.tree_util.tree_map(self._to_np, opt_state)
         if not self._is_primary():
             return
+        from temp_tpu.train.checkpoint import save_blob
         path = self.ckpt_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        blob = {
-            "params": jax.tree_util.tree_map(self._to_np, params),
-            "opt_state": jax.tree_util.tree_map(self._to_np, opt_state),
-            "epoch": epoch,
-            "metrics": metrics,
-        }
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        save_blob(path, host_params, host_opt, epoch, metrics)
         with open(os.path.join(self.run_dir, "checkpoints", "meta.json"), "w") as f:
             json.dump({"epoch": epoch, "metrics": metrics}, f, indent=2)
 
     def load_checkpoint(self, path: Optional[str] = None):
-        with open(path or self.ckpt_path(), "rb") as f:
-            blob = pickle.load(f)
-        params = jax.device_put(blob["params"])
-        opt_state = jax.device_put(blob["opt_state"])
+        """Restore (params, opt_state, blob) onto the trainer's mesh — works
+        across mesh shapes/process counts since both trees are replicated."""
+        from temp_tpu.train.checkpoint import (device_put_replicated,
+                                               load_blob)
+        params_np, opt_np, extra = load_blob(path or self.ckpt_path())
+        params = device_put_replicated(params_np, self.mesh)
+        if opt_np is not None:
+            # re-hydrate optax's container types from the flat store
+            from temp_tpu.train.checkpoint import _unflatten_opt_state
+            if isinstance(opt_np, dict) and opt_np and \
+                    all(isinstance(k, str) and k.isdigit() for k in opt_np):
+                template = jax.eval_shape(self.optimizer.init, params_np)
+                opt_np = _unflatten_opt_state(opt_np, template)
+            opt_state = device_put_replicated(opt_np, self.mesh)
+        else:
+            opt_state = None
+        blob = {"params": params_np, "opt_state": opt_np,
+                "epoch": extra.get("epoch"), "metrics": extra.get("metrics", {})}
         return params, opt_state, blob
 
 
 def load_checkpoint_params(run_dir: str):
     """Restore (cfg, params) from an experiment dir — the test.py restore path
-    (reference test.py:336-416)."""
+    (reference test.py:336-416). Reads both the orbax directory format and
+    legacy round-1 pickles."""
+    from temp_tpu.train.checkpoint import load_blob
     with open(os.path.join(run_dir, "config.json")) as f:
         cfg = TKGConfig.from_dict(json.load(f))
-    with open(os.path.join(run_dir, "checkpoints", "best.ckpt"), "rb") as f:
-        blob = pickle.load(f)
-    return cfg, jax.device_put(blob["params"]), blob
+    params_np, opt_np, extra = load_blob(
+        os.path.join(run_dir, "checkpoints", "best.ckpt"))
+    blob = {"params": params_np, "opt_state": opt_np,
+            "epoch": extra.get("epoch"), "metrics": extra.get("metrics", {})}
+    return cfg, jax.device_put(params_np), blob

@@ -22,10 +22,27 @@ class TestBucketAnalysis:
         train_q = np.array([[0, 0, 1, 0], [0, 0, 1, 1], [2, 1, 3, 1]], np.int64)
         preds = [(0, 0, 1, 2, "tail", 1), (0, 0, 1, 2, "head", 5),
                  (2, 1, 3, 2, "tail", 10)]
-        rep = analyze(preds, train_q, window=5)
+        rep, raw, by_time = analyze(preds, train_q, window=5)
         assert rep["overall"]["all"]["n"] == 3
         # (0,0,1) repeats in the window -> 'repeated' bucket populated
         assert rep["triple_repetition"]["repeated"]["n"] >= 2
+        # regression fits present whenever >=2 distinct frequencies exist
+        for dim, fits in rep["regression_fits"].items():
+            assert {"slope", "intercept", "r2"} <= set(fits["mrr"])
+        assert rep["per_time"]["2"]["n"] == 3
+        assert set(raw) == {"query_pair_freq", "target_ent_freq", "rel_freq"}
+
+    def test_write_figures(self, tmp_path):
+        train_q = np.array([[0, 0, 1, 0], [0, 0, 1, 1], [2, 1, 3, 1],
+                            [2, 1, 3, 0], [4, 0, 5, 1]], np.int64)
+        preds = [(0, 0, 1, 2, "tail", 1), (0, 0, 1, 2, "head", 5),
+                 (2, 1, 3, 2, "tail", 10), (4, 0, 5, 2, "tail", 2)]
+        from link_prediction_analysis import write_figures
+        _, raw, by_time = analyze(preds, train_q, window=5)
+        write_figures(raw, by_time, str(tmp_path))
+        import os
+        assert (tmp_path / "mrr_per_time.png").exists()
+        assert any(f.endswith("_hit_10.png") for f in os.listdir(tmp_path))
 
 
 class TestGreedyClassifier:

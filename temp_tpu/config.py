@@ -109,6 +109,10 @@ class TKGConfig:
     # -- parallelism (new; reference only had DDP: utils/args.py:12) --------
     dp_size: int = 1       # data-parallel size over target-time batches
     mp_size: int = 1       # model axis: entity/edge partitioning
+    edge_partition: bool = False  # shard_map training/eval: every rel_spmm
+    #   partitions its edges over the model axis with psum'd partials
+    #   (SURVEY §2.8 north star; parallel/edge_partition.py). Off = GSPMD
+    #   sharding constraints only.
     distributed: bool = False  # multi-process: jax.distributed + global mesh
     #   (DDP equivalent of reference --distributed_backend ddp; coordinator
     #    via TEMP_TPU_COORDINATOR/NUM_PROCS/PROC_ID env or TPU-pod autodetect;

@@ -137,13 +137,13 @@ class DynamicRGCNModel:
         the updates back. Inactive entities never update history — identical
         semantics, ~N/A_t times less matmul work per step.
         """
-        from temp_tpu.parallel.mesh import shard_entity
+        from temp_tpu.parallel.mesh import shard_entity, vary_batch
 
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
-        hist1 = shard_entity(jnp.zeros((N, d)))
-        hist2 = shard_entity(jnp.zeros((N, d)))
-        last_pos = shard_entity(jnp.zeros((N,), jnp.float32))
+        hist1 = shard_entity(vary_batch(jnp.zeros((N, d))))
+        hist2 = shard_entity(vary_batch(jnp.zeros((N, d))))
+        last_pos = shard_entity(vary_batch(jnp.zeros((N,), jnp.float32)))
 
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
         use_drop_edge = train and cfg.edge_dropout and drop_rates is not None

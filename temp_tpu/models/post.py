@@ -112,13 +112,13 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
                         train: bool, rng, direction=None, drop_rates=None):
         """pre_forward carrying the extra local-embedding history
         (ImputeDynamicRGCN.pre_forward, PostDynamicRGCN.py:60-79)."""
-        from temp_tpu.parallel.mesh import shard_entity
+        from temp_tpu.parallel.mesh import shard_entity, vary_batch
 
         cfg = self.cfg
         N, d = self.num_ents, cfg.embed_size
         ent = params["ent_embeds"]
         carry0 = jax.tree_util.tree_map(
-            shard_entity,
+            lambda z: shard_entity(vary_batch(z)),
             (jnp.zeros((N, d)), jnp.zeros((N, d)), jnp.zeros((N, d)),
              jnp.zeros((N,), jnp.float32)))
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout

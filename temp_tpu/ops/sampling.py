@@ -64,7 +64,8 @@ def draw_negatives(
             g_f, v_f = fv
             return carry | ((q_grp == g_f)[:, None] & (draws == v_f)), None
 
-        bad, _ = jax.lax.scan(body, jnp.zeros((P, k_extra), bool),
+        from temp_tpu.parallel.mesh import vary_batch
+        bad, _ = jax.lax.scan(body, vary_batch(jnp.zeros((P, k_extra), bool)),
                               (grp_sorted, val_sorted))
 
     if strict:

@@ -92,6 +92,11 @@ def rel_spmm(
     """
     d_in = h.shape[-1]
     E = src.shape[0]
+    from temp_tpu.parallel.mesh import manual_axis
+    part = manual_axis()
+    if part is not None and part[1] > 1:
+        return _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases,
+                                     d_out, num_ents, *part)
     if method == "auto":
         # The decision is settled by whole-epoch A/B on the real chip, not by
         # isolated-op timings. Isolated (benchmarks/hotspots.py, v5e, d=128
@@ -152,4 +157,37 @@ def _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases, d_out,
     scatter = (dst[:, None] == rows[None, :]).astype(cdt)   # [E, N]
     agg = jnp.dot(scatter.T, msg, precision=hi,
                   preferred_element_type=jnp.float32)
+    return agg * norm[:, None]
+
+
+def _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases, d_out,
+                          num_ents, axis, m):
+    """Edge-partitioned rel_spmm inside a shard_map region (SURVEY §2.8 north
+    star; parallel/edge_partition.py has the standalone shard_map form).
+
+    Each of the `m` members of mesh axis `axis` aggregates a contiguous
+    chunk of the padded edge list into a partial [N, d_out] buffer; two
+    named-axis collectives ride ICI: a psum of the in-degree counts (global
+    norms) and a psum of the partial aggregates — the boundary-embedding
+    exchange of the reference's DGL update_all (models/RGCN.py:100-101),
+    expressed so XLA's latency-hiding scheduler can overlap it with the
+    per-chunk gather/contract/scatter work. Composes with vmap (the batch
+    axis of the fused epoch) and autodiff (psum transposes to identity).
+    """
+    d_in = h.shape[-1]
+    E = src.shape[0]
+    me = jax.lax.axis_index(axis)
+    chunk = -(-E // m)  # ceil; trailing out-of-range slots masked off below
+    idx = me * chunk + jnp.arange(chunk, dtype=src.dtype)
+    valid = idx < E
+    idx = jnp.minimum(idx, E - 1)
+    src_l, dst_l, rel_l = src[idx], dst[idx], rel[idx]
+    em_l = emask[idx] & valid
+
+    deg = jax.lax.psum(
+        segment_sum(em_l.astype(jnp.float32), dst_l, num_ents), axis)
+    norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+    msg = rel_message(h[src_l], rel_l, weight, n_bases, d_in, d_out)
+    msg = msg * (norm[dst_l] * em_l.astype(h.dtype))[:, None]
+    agg = jax.lax.psum(segment_sum(msg, dst_l, num_ents), axis)
     return agg * norm[:, None]

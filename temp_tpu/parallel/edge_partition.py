@@ -153,3 +153,85 @@ def group_edges_by_dst_owner(src, dst, rel, emask, num_ents: int, m: int):
         # padding rows must still be owned by shard i for dst_loc validity
         out["dst"][s + len(b):s + cap] = i * rows
     return out["src"], out["dst"], out["rel"], out["emask"]
+
+
+class EdgePartitionedModel:
+    """Wrap any model (the shared loss/eval_ranks signature of
+    models/registry.py) so its training and eval steps run inside one
+    shard_map over the full (data, model) mesh: the batch of target times
+    splits over `data` (the reference's DDP unit, models/TKG_Module.py:166-168)
+    and every rel_spmm inside partitions its padded edge list over `model`
+    with psum'd partial aggregates (_rel_spmm_partitioned) — the integrated
+    form of the north-star boundary exchange (SURVEY §2.8).
+
+    Inside the manual region, GSPMD constraints (mesh.constrain/shard_entity)
+    are disabled automatically. Scoring/GRU/attention math is replicated
+    across the `model` axis — only the SpMM partitions — so results match the
+    unpartitioned path up to float reassociation of the psum.
+
+    Selected by TKGConfig.edge_partition (Trainer wraps the model when the
+    active mesh has a model axis > 1). Composes with the fused-epoch
+    lax.scan, value_and_grad, and multi-process meshes unchanged.
+    """
+
+    def __init__(self, model, mesh: Mesh, axis: str = "model"):
+        self.inner = model
+        self.mesh = mesh
+        self.axis = axis
+        self.mp = mesh.shape[axis]
+        self.dp = mesh.shape.get("data", 1)
+
+    def __getattr__(self, name):  # cfg, num_ents, ... pass through
+        return getattr(self.inner, name)
+
+    def _specs(self, data, n_batch_args):
+        data_specs = jax.tree_util.tree_map(lambda _: P(), data)
+        return (P(), data_specs) + (P("data"),) * n_batch_args
+
+    def loss(self, params, data, t_pos, t_valid, rng):
+        from temp_tpu.parallel.mesh import manual_partition
+
+        B = t_pos.shape[0]
+        assert B % self.dp == 0, (B, self.dp)
+        inner, axis, mp, dp = self.inner, self.axis, self.mp, self.dp
+
+        def fn(params, data, t_pos, t_valid, rng):
+            if dp > 1:
+                # distinct sampling/subsample streams per data shard
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            with manual_partition(axis, mp):
+                local = inner.loss(params, data, t_pos, t_valid, rng)
+            # dp=1: value-identity, but still needed to type the output as
+            # replicated over `data` (the local loss is batch-derived)
+            return jax.lax.psum(local, "data")
+
+        shard = partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=self._specs(data, 2) + (P(),), out_specs=P())
+        return shard(fn)(params, data, t_pos, t_valid, rng)
+
+    def eval_ranks(self, params, data, t_pos, t_valid, split: str):
+        from temp_tpu.parallel.mesh import manual_partition
+
+        B = t_pos.shape[0]
+        assert B % self.dp == 0, (B, self.dp)
+        inner, axis, mp, dp = self.inner, self.axis, self.mp, self.dp
+
+        def fn(params, data, t_pos, t_valid):
+            with manual_partition(axis, mp):
+                ranks, mask, bce = inner.eval_ranks(params, data, t_pos,
+                                                    t_valid, split)
+            # bce is the mean over local batch elements that have queries;
+            # reduce to the identical global weighted mean (dp=1: identity
+            # value-wise; still types the output as data-replicated)
+            n = jnp.sum(jnp.any(mask, axis=1)).astype(bce.dtype)
+            tot = jax.lax.psum(bce * n, "data")
+            cnt = jax.lax.psum(n, "data")
+            bce = tot / jnp.maximum(cnt, 1.0)
+            return ranks, mask, bce
+
+        shard = partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=self._specs(data, 2),
+            out_specs=(P("data"), P("data"), P()))
+        return shard(fn)(params, data, t_pos, t_valid)

@@ -22,6 +22,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _ACTIVE: Optional[Mesh] = None
 
+# (axis_name, axis_size) while tracing inside a manual shard_map region whose
+# rel_spmm calls partition their edges over that mesh axis (SURVEY §2.8 north
+# star). GSPMD sharding constraints are illegal inside shard_map, so
+# constrain/shard_entity become no-ops under it.
+_MANUAL: Optional[tuple] = None
+
+
+@contextlib.contextmanager
+def manual_partition(axis: str, size: int):
+    """Mark the enclosed trace as running inside a shard_map whose rel_spmm
+    edges are partitioned over mesh axis `axis` (of static size `size`)."""
+    global _MANUAL
+    prev = _MANUAL
+    _MANUAL = (axis, size)
+    try:
+        yield
+    finally:
+        _MANUAL = prev
+
+
+def manual_axis() -> Optional[tuple]:
+    return _MANUAL
+
+
+def vary_batch(x):
+    """Inside a manual shard_map region, mark a freshly-created scan carry as
+    varying over the `data` mesh axis (jax's vma tracking requires the carry
+    type to match the body output, which is batch-content-dependent and hence
+    data-varying). No-op outside shard_map regions and on jax without pcast."""
+    if _MANUAL is None or not hasattr(jax.lax, "pcast"):
+        return x
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.pcast(a, ("data",), to="varying"), x)
+
 
 def make_mesh(dp: int, mp: int = 1, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -48,7 +82,7 @@ def use_mesh(mesh: Mesh):
 
 def constrain(x, *spec):
     """with_sharding_constraint against the active mesh; no-op without one."""
-    if _ACTIVE is None:
+    if _ACTIVE is None or _MANUAL is not None:
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(_ACTIVE, P(*spec)))
 
@@ -65,7 +99,8 @@ def shard_entity(x, axis: int = 0):
     ICI where a computation needs remote rows (SURVEY §5.7). Composes with
     vmap: the batch dimension is added outside `axis` bookkeeping.
     """
-    if _ACTIVE is None or _ACTIVE.shape.get("model", 1) == 1:
+    if _ACTIVE is None or _MANUAL is not None \
+            or _ACTIVE.shape.get("model", 1) == 1:
         return x
     spec = [None] * x.ndim
     spec[axis] = "model"

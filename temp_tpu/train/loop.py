@@ -61,6 +61,10 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
+        if (mesh is not None and cfg.edge_partition
+                and mesh.shape.get("model", 1) > 1):
+            from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+            self.model = model = EdgePartitionedModel(model, mesh)
         if mesh is not None:
             from temp_tpu.parallel.mesh import replicated
             self.data = jax.device_put(data, replicated(mesh))

@@ -213,3 +213,101 @@ def test_icews14_sharded_loss_and_ranks_match_single_device():
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
     np.testing.assert_array_equal(np.asarray(ranks)[np.asarray(mask)],
                                   np.asarray(ranks_ref)[np.asarray(mask_ref)])
+
+
+# -- edge-partitioned shard_map path (SURVEY §2.8 north star) ---------------
+
+class TestEdgePartitionedModel:
+    """The integrated edge-partitioned training/eval path: every rel_spmm
+    splits its edges over the `model` axis inside one shard_map
+    (parallel/edge_partition.py EdgePartitionedModel)."""
+
+    def test_loss_matches_unpartitioned(self, setup):
+        from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+
+        cfg, data, model, params = setup
+        t_pos = jnp.asarray([4, 5, 6, 7, 2, 3, 8, 1], jnp.int32)
+        t_valid = jnp.ones(8, bool)
+        rng = jax.random.PRNGKey(3)
+        ref = float(jax.jit(model.loss)(params, data, t_pos, t_valid, rng))
+
+        # dp=1 keeps the per-element RNG streams identical to the
+        # unpartitioned path; only the SpMM partitioning differs
+        mesh = make_mesh(1, 8)
+        with use_mesh(mesh):
+            wrapped = EdgePartitionedModel(model, mesh)
+            sp = jax.device_put(params, replicated(mesh))
+            sd = jax.device_put(data, replicated(mesh))
+            got = float(jax.jit(wrapped.loss)(sp, sd, t_pos, t_valid, rng))
+        np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+    def test_grads_match_unpartitioned(self, setup):
+        from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+
+        cfg, data, model, params = setup
+        t_pos = jnp.asarray([4, 5, 2, 7], jnp.int32)
+        t_valid = jnp.ones(4, bool)
+        rng = jax.random.PRNGKey(5)
+        g_ref = jax.jit(jax.grad(model.loss))(params, data, t_pos, t_valid, rng)
+
+        mesh = make_mesh(1, 8)
+        with use_mesh(mesh):
+            wrapped = EdgePartitionedModel(model, mesh)
+            sp = jax.device_put(params, replicated(mesh))
+            sd = jax.device_put(data, replicated(mesh))
+            g = jax.jit(jax.grad(wrapped.loss))(sp, sd, t_pos, t_valid, rng)
+        flat_ref = jax.tree_util.tree_leaves(g_ref)
+        flat = jax.tree_util.tree_leaves(g)
+        assert len(flat) == len(flat_ref)
+        for a, b in zip(flat, flat_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("dp,mp", [(2, 4), (1, 8), (4, 2)])
+    def test_eval_ranks_identical(self, setup, dp, mp):
+        from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+
+        cfg, data, model, params = setup
+        t_pos = jnp.asarray([4, 5, 6, 7, 2, 3, 8, 1], jnp.int32)
+        t_valid = jnp.ones(8, bool)
+        ranks_ref, mask_ref, bce_ref = jax.jit(
+            lambda p, tp, tv: model.eval_ranks(p, data, tp, tv, "valid")
+        )(params, t_pos, t_valid)
+
+        mesh = make_mesh(dp, mp)
+        with use_mesh(mesh):
+            wrapped = EdgePartitionedModel(model, mesh)
+            sp = jax.device_put(params, replicated(mesh))
+            sd = jax.device_put(data, replicated(mesh))
+            ranks, mask, bce = jax.jit(
+                lambda p, tp, tv: wrapped.eval_ranks(p, sd, tp, tv, "valid")
+            )(sp, t_pos, t_valid)
+
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+        np.testing.assert_array_equal(np.asarray(ranks)[np.asarray(mask)],
+                                      np.asarray(ranks_ref)[np.asarray(mask_ref)])
+        np.testing.assert_allclose(float(bce), float(bce_ref), rtol=1e-4)
+
+    def test_trainer_integration(self, setup):
+        """cfg.edge_partition=True makes the Trainer wrap the model and run a
+        full fused epoch + eval through the shard_map path."""
+        import dataclasses
+        from temp_tpu.train.loop import Trainer
+
+        cfg, data, model, params = setup
+        cfg2 = dataclasses.replace(cfg, edge_partition=True)
+        mesh = make_mesh(2, 4)
+        with use_mesh(mesh):
+            trainer = Trainer(cfg2, model, data, run_dir="/tmp/tkg_edgepart",
+                              mesh=mesh)
+            from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+            assert isinstance(trainer.model, EdgePartitionedModel)
+            p, o = trainer.init_state(seed=0)
+            t_pos_all, t_valid_all = trainer._put_batches(
+                *Trainer._stack_batches(data.num_times, cfg2.batch_size, None))
+            p, o, losses = trainer.train_epoch(
+                p, o, trainer.data, t_pos_all, t_valid_all,
+                jax.random.PRNGKey(0))
+            assert np.isfinite(np.asarray(losses)).all()
+            m = trainer.run_eval(p, "valid")
+            assert 0.0 <= m["mrr"] <= 1.0

@@ -82,7 +82,7 @@ class TKGConfig:
 
     # -- precision ----------------------------------------------------------
     param_dtype: str = "float32"
-    compute_dtype: str = "float32"  # bfloat16 on TPU for the hot path
+    compute_dtype: str = "auto"  # auto = bfloat16 on TPU, float32 on CPU
 
     # -- run control --------------------------------------------------------
     # reference: utils/args.py:36-39,56-58
@@ -126,12 +126,18 @@ class TKGConfig:
         SpMM (ops/segment.py) and the GRU cells (ops/gru.py); accumulations
         and losses always stay f32. The reference runs end-to-end f32 CUDA;
         bf16 matmul inputs are the TPU-native equivalent of its tensor-core
-        path and leave val MRR unchanged (results/round2/).
+        path and leave val MRR unchanged (results/round2/). The default
+        "auto" resolves to bfloat16 on accelerator backends and float32 on
+        CPU (where tests and full-precision oracles run).
         """
         if self.compute_dtype in ("float32", "f32", None):
             return None
         import jax.numpy as jnp
 
+        if self.compute_dtype == "auto":
+            import jax
+
+            return None if jax.default_backend() == "cpu" else jnp.bfloat16
         return jnp.dtype(self.compute_dtype)
 
     @property

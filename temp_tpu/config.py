@@ -79,6 +79,12 @@ class TKGConfig:
     edge_pad_multiple: int = 128   # pad per-snapshot edge buckets to this
     query_pad_multiple: int = 128  # pad eval query counts to this
     neg_oversample: int = 64       # extra uniform draws for rejection sampling
+    negative_pool: str = "shared"  # shared | per_query. "shared" draws ONE
+    #   negative pool per (snapshot, direction) and masks true answers per
+    #   query — candidate scoring becomes a single MXU matmul (~3.9x faster
+    #   fused epochs, benchmarks/cand_gather_ab.py). "per_query" is the
+    #   reference-exact independent-candidates sampler
+    #   (utils/CorrptTriples.py:61-85). See ops/sampling.py.
 
     # -- precision ----------------------------------------------------------
     param_dtype: str = "float32"

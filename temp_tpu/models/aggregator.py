@@ -27,7 +27,7 @@ from temp_tpu.data.snapshots import TKGData
 from temp_tpu.models.objectives import _masked_mean
 from temp_tpu.models.post import gate_weight, init_gate_mlp
 from temp_tpu.ops.ranking import filtered_ranks
-from temp_tpu.ops.sampling import draw_negatives, subsample_positives
+from temp_tpu.ops.sampling import subsample_positives
 from temp_tpu.ops.scores import get_score_fn
 
 
@@ -121,17 +121,14 @@ class AggregatorModel:
             sub_feat, obj_feat = self._features("train", tp)
             w_subj = gate_weight(params["gates"]["subject"], sub_feat)[:, None]
             w_obj = gate_weight(params["gates"]["object"], obj_feat)[:, None]
-            cand_t = draw_negatives(k_t, data.train_tail.grp[tp], data.train_tail.val[tp],
-                                    src * r2 + rel, dst, data.num_ents,
-                                    cfg.negative_rate, cfg.neg_oversample)
-            cand_h = draw_negatives(k_h, data.train_head.grp[tp], data.train_head.val[tp],
-                                    dst * r2 + rel, src, data.num_ents,
-                                    cfg.negative_rate, cfg.neg_oversample)
-            from temp_tpu.ops.scores import score_candidates_all
-            sc_t = (w_obj * score_candidates_all(self.score_all, loc[src], rel_loc[rel], loc, cand_t, "tail")
-                    + (1 - w_obj) * score_candidates_all(self.score_all, rec[src], rel_rec[rel], rec, cand_t, "tail"))
-            sc_h = (w_subj * score_candidates_all(self.score_all, loc[dst], rel_loc[rel], loc, cand_h, "head")
-                    + (1 - w_subj) * score_candidates_all(self.score_all, rec[dst], rel_rec[rel], rec, cand_h, "head"))
+            from temp_tpu.models.objectives import make_raw_scorers
+            from temp_tpu.ops.scores import qhat_for
+            score_t, score_h = make_raw_scorers(cfg, data, k_t, k_h, tp,
+                                                src, rel, dst)
+            sc_t = (w_obj * score_t(qhat_for(self.score_all, loc[src], rel_loc[rel], "tail"), loc)
+                    + (1 - w_obj) * score_t(qhat_for(self.score_all, rec[src], rel_rec[rel], "tail"), rec))
+            sc_h = (w_subj * score_h(qhat_for(self.score_all, loc[dst], rel_loc[rel], "head"), loc)
+                    + (1 - w_subj) * score_h(qhat_for(self.score_all, rec[dst], rel_rec[rel], "head"), rec))
             ce = (-jax.nn.log_softmax(sc_t, -1)[:, 0],
                   -jax.nn.log_softmax(sc_h, -1)[:, 0])
             loss = _masked_mean(ce[0], pos_mask) + _masked_mean(ce[1], pos_mask)

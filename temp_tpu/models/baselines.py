@@ -34,7 +34,7 @@ from temp_tpu.models.objectives import (
     _masked_mean, eval_ranks_single, train_loss_single,
 )
 from temp_tpu.ops.ranking import filtered_ranks
-from temp_tpu.ops.sampling import draw_negatives, subsample_positives
+from temp_tpu.ops.sampling import subsample_positives
 from temp_tpu.ops.scores import get_score_fn
 
 
@@ -182,22 +182,17 @@ class SimplEModel(EmbeddingBaseline):
             pos_mask = subsample_positives(k_pos, emask, cfg.num_pos_facts)
             re = params["rel_embeds"][rel]
             ri = params["rel_embeds_inv"][rel]
-            cand_t = draw_negatives(k_t, data.train_tail.grp[tp], data.train_tail.val[tp],
-                                    src * r2 + rel, dst, data.num_ents,
-                                    cfg.negative_rate, cfg.neg_oversample)
-            cand_h = draw_negatives(k_h, data.train_head.grp[tp], data.train_head.val[tp],
-                                    dst * r2 + rel, src, data.num_ents,
-                                    cfg.negative_rate, cfg.neg_oversample)
+            from temp_tpu.models.objectives import make_raw_scorers
+            score_t, score_h = make_raw_scorers(cfg, data, k_t, k_h, tp,
+                                                src, rel, dst)
             # simple() tail mode (utils/scores.py:16-17): bilinear in the
-            # candidate -> full-table matmuls then gather
+            # candidate; each direction averages two qhat-vs-table terms
             q1 = emb[src] * re          # vs inv candidates
             q2 = inv[src] * ri          # vs canonical candidates
-            sc_t = 0.5 * (jnp.take_along_axis(q1 @ inv.T, cand_t, 1)
-                          + jnp.take_along_axis(q2 @ emb.T, cand_t, 1))
+            sc_t = 0.5 * (score_t(q1, inv) + score_t(q2, emb))
             q3 = re * inv[dst]          # head: candidates canonical
             q4 = ri * emb[dst]          # candidates inverse
-            sc_h = 0.5 * (jnp.take_along_axis(q3 @ emb.T, cand_h, 1)
-                          + jnp.take_along_axis(q4 @ inv.T, cand_h, 1))
+            sc_h = 0.5 * (score_h(q3, emb) + score_h(q4, inv))
             ce_t = -jax.nn.log_softmax(sc_t, axis=-1)[:, 0]
             ce_h = -jax.nn.log_softmax(sc_h, axis=-1)[:, 0]
             loss = _masked_mean(ce_t, pos_mask) + _masked_mean(ce_h, pos_mask)

@@ -17,13 +17,72 @@ import jax.numpy as jnp
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.snapshots import TKGData
 from temp_tpu.ops.ranking import filtered_ranks
-from temp_tpu.ops.sampling import draw_negatives, subsample_positives
-from temp_tpu.ops.scores import score_candidates_all
+from temp_tpu.ops.sampling import (draw_negatives, draw_shared_negatives,
+                                   subsample_positives)
+from temp_tpu.ops.scores import (score_against_rows, score_candidates_all,
+                                 score_positive_rows)
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
     return jnp.sum(x * mask.astype(x.dtype)) / cnt
+
+
+def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
+                     src, rel, dst):
+    """Candidate machinery shared by the gated/ensemble losses (post.py,
+    aggregator.py, SimplE): returns (score_tail, score_head), each mapping a
+    query transform `qhat` [P, d] and an entity `table` [N, d] to [P, 1+C]
+    logits with the positive's score in column 0.
+
+    Honors cfg.negative_pool: "shared" scores one pool per direction with a
+    single MXU matmul + per-query true-answer masking; "per_query" replicates
+    the reference's independent candidates (utils/CorrptTriples.py:61-85)
+    via the [P, N] score matrix + lane gather. Both close over ONE candidate
+    draw so blended scores (w * score(qhat_a, table_a) + ...) stay aligned
+    across tables, like the reference's shared `neg_samples`
+    (models/PostDynamicRGCN.py:263-278)."""
+    r2 = 2 * data.num_rels
+    grp_tail = src * r2 + rel
+    grp_head = dst * r2 + rel
+    tail_tbl = (data.train_tail.grp[t_pos], data.train_tail.val[t_pos])
+    head_tbl = (data.train_head.grp[t_pos], data.train_head.val[t_pos])
+
+    if cfg.negative_pool == "shared":
+        pool_t, bad_t = draw_shared_negatives(
+            k_tail, *tail_tbl, grp_tail, data.num_ents, cfg.negative_rate)
+        pool_h, bad_h = draw_shared_negatives(
+            k_head, *head_tbl, grp_head, data.num_ents, cfg.negative_rate)
+
+        def mk(pool, bad, pos):
+            def score(qhat, table):
+                dt = cfg.hot_dtype
+                rows = table[pool]
+                q, r = (qhat, rows) if dt is None else (qhat.astype(dt),
+                                                        rows.astype(dt))
+                sc_neg = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+                sc_neg = jnp.where(bad, -1e9, sc_neg)
+                sc_pos = jnp.sum(qhat * table[pos], -1)
+                return jnp.concatenate([sc_pos[:, None], sc_neg], axis=1)
+            return score
+
+        return mk(pool_t, bad_t, dst), mk(pool_h, bad_h, src)
+
+    cand_t = draw_negatives(k_tail, *tail_tbl, grp_tail, dst, data.num_ents,
+                            cfg.negative_rate, cfg.neg_oversample)
+    cand_h = draw_negatives(k_head, *head_tbl, grp_head, src, data.num_ents,
+                            cfg.negative_rate, cfg.neg_oversample)
+
+    def mk_pq(cand):
+        def score(qhat, table):
+            dt = cfg.hot_dtype
+            q, t = (qhat, table) if dt is None else (qhat.astype(dt),
+                                                     table.astype(dt))
+            full = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+            return jnp.take_along_axis(full, cand, axis=1)
+        return score
+
+    return mk_pq(cand_t), mk_pq(cand_h)
 
 
 def train_loss_single(
@@ -44,9 +103,35 @@ def train_loss_single(
     pos_mask = subsample_positives(k_pos, emask, cfg.num_pos_facts)
 
     r_emb = rel_embeds[rel]
-
-    # tail corruption: exclude true tails among TRAIN facts at t
     grp_tail = src * r2 + rel
+    grp_head = dst * r2 + rel
+
+    if cfg.negative_pool == "shared":
+        # TPU fast path: one negative pool per (snapshot, direction), shared
+        # by all positives; scoring is a single MXU matmul against the pool
+        # rows and true answers are masked per query (see
+        # ops/sampling.py draw_shared_negatives for the deviation analysis).
+        def ce_shared(k, tbl_grp, tbl_val, q_grp, q_ent_rows, pos_rows, mode):
+            pool, bad = draw_shared_negatives(
+                k, tbl_grp, tbl_val, q_grp, data.num_ents, cfg.negative_rate)
+            sc_neg = score_against_rows(score_all_fn, q_ent_rows, r_emb,
+                                        table[pool], mode, dtype=cfg.hot_dtype)
+            sc_neg = jnp.where(bad, -1e9, sc_neg)
+            sc_pos = score_positive_rows(score_all_fn, q_ent_rows, r_emb,
+                                         pos_rows, mode)
+            logits = jnp.concatenate([sc_pos[:, None], sc_neg], axis=1)
+            return -jax.nn.log_softmax(logits, axis=-1)[:, 0]
+
+        ce_tail = ce_shared(k_tail, data.train_tail.grp[t_pos],
+                            data.train_tail.val[t_pos], grp_tail,
+                            table[src], table[dst], "tail")
+        ce_head = ce_shared(k_head, data.train_head.grp[t_pos],
+                            data.train_head.val[t_pos], grp_head,
+                            table[dst], table[src], "head")
+        return _masked_mean(ce_tail, pos_mask) + _masked_mean(ce_head, pos_mask)
+
+    # reference-exact per-query sampling (utils/CorrptTriples.py:61-85)
+    # tail corruption: exclude true tails among TRAIN facts at t
     cand_tail = draw_negatives(
         k_tail, data.train_tail.grp[t_pos], data.train_tail.val[t_pos],
         grp_tail, dst, data.num_ents, cfg.negative_rate, cfg.neg_oversample,
@@ -56,7 +141,6 @@ def train_loss_single(
     ce_tail = -jax.nn.log_softmax(sc_tail, axis=-1)[:, 0]
 
     # head corruption
-    grp_head = dst * r2 + rel
     cand_head = draw_negatives(
         k_head, data.train_head.grp[t_pos], data.train_head.val[t_pos],
         grp_head, src, data.num_ents, cfg.negative_rate, cfg.neg_oversample,

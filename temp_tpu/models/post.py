@@ -43,8 +43,7 @@ from temp_tpu.models.layers import (
 from temp_tpu.models.encoders import calc_impute_weight, encoder_forward
 from temp_tpu.models.objectives import _masked_mean
 from temp_tpu.ops.ranking import filtered_ranks
-from temp_tpu.ops.sampling import draw_negatives, subsample_edges, subsample_positives
-from temp_tpu.ops.scores import score_candidates_all
+from temp_tpu.ops.sampling import subsample_edges, subsample_positives
 
 
 def init_gate_mlp(key):
@@ -281,12 +280,10 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
         r_emb = params["rel_embeds"][rel]
         sub_feat, obj_feat = self._features("train", t_pos)
 
-        cand_tail = draw_negatives(
-            k_tail, data.train_tail.grp[t_pos], data.train_tail.val[t_pos],
-            src * r2 + rel, dst, data.num_ents, cfg.negative_rate, cfg.neg_oversample)
-        cand_head = draw_negatives(
-            k_head, data.train_head.grp[t_pos], data.train_head.val[t_pos],
-            dst * r2 + rel, src, data.num_ents, cfg.negative_rate, cfg.neg_oversample)
+        from temp_tpu.models.objectives import make_raw_scorers
+        from temp_tpu.ops.scores import qhat_for
+        score_t, score_h = make_raw_scorers(cfg, data, k_tail, k_head, t_pos,
+                                            src, rel, dst)
 
         if cfg.post_aggregation:
             g = params["gates"]
@@ -296,21 +293,21 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
             w_oq = gate_weight(g["oqse"], obj_feat)[:, None]
             # tail (PostDynamicRGCN.py:263-270): weights from the object-query MLP
             s_blend = w_oq * loc[src] + (1 - w_oq) * rec[src]
-            sc_t = (w_oq * score_candidates_all(self.score_all, s_blend, r_emb, loc, cand_tail, "tail")
-                    + (1 - w_oq) * score_candidates_all(self.score_all, s_blend, r_emb, rec, cand_tail, "tail"))
+            qh_t = qhat_for(self.score_all, s_blend, r_emb, "tail")
+            sc_t = w_oq * score_t(qh_t, loc) + (1 - w_oq) * score_t(qh_t, rec)
             # head (PostDynamicRGCN.py:271-278): o_loc reads the REC table
             # in the reference — replicated
             o_blend = rec[dst]
-            sc_h = (w_sq * score_candidates_all(self.score_all, o_blend, r_emb, loc, cand_head, "head")
-                    + (1 - w_sq) * score_candidates_all(self.score_all, o_blend, r_emb, rec, cand_head, "head"))
+            qh_h = qhat_for(self.score_all, o_blend, r_emb, "head")
+            sc_h = w_sq * score_h(qh_h, loc) + (1 - w_sq) * score_h(qh_h, rec)
         else:  # post_ensemble (PostEnsembleDynamicRGCN.py:355-363,425-428)
             g = params["gates"]
             w_subj = gate_weight(g["subject"], sub_feat)[:, None]
             w_obj = gate_weight(g["object"], obj_feat)[:, None]
-            sc_t_loc = score_candidates_all(self.score_all, loc[src], r_emb, loc, cand_tail, "tail")
-            sc_t_rec = score_candidates_all(self.score_all, rec[src], r_emb, rec, cand_tail, "tail")
-            sc_h_loc = score_candidates_all(self.score_all, loc[dst], r_emb, loc, cand_head, "head")
-            sc_h_rec = score_candidates_all(self.score_all, rec[dst], r_emb, rec, cand_head, "head")
+            sc_t_loc = score_t(qhat_for(self.score_all, loc[src], r_emb, "tail"), loc)
+            sc_t_rec = score_t(qhat_for(self.score_all, rec[src], r_emb, "tail"), rec)
+            sc_h_loc = score_h(qhat_for(self.score_all, loc[dst], r_emb, "head"), loc)
+            sc_h_rec = score_h(qhat_for(self.score_all, rec[dst], r_emb, "head"), rec)
             sc_t = w_obj * sc_t_loc + (1 - w_obj) * sc_t_rec
             sc_h = w_subj * sc_h_loc + (1 - w_subj) * sc_h_rec
 

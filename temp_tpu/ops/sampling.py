@@ -88,6 +88,45 @@ def draw_negatives(
     return jnp.concatenate([pos[:, None].astype(jnp.int32), neg], axis=1)
 
 
+def draw_shared_negatives(
+    rng: jax.Array,
+    grp_sorted: jnp.ndarray,   # [F] per-time sorted filter groups (train facts)
+    val_sorted: jnp.ndarray,   # [F]
+    q_grp: jnp.ndarray,        # [P] query group key (h*2R+r for tail corruption)
+    num_ents: int,
+    negative_rate: int,
+):
+    """One negative pool SHARED by every positive of the snapshot.
+
+    Returns (pool [C] int32 ids, bad [P, C] bool) where bad[p, c] marks pool
+    entries that are true answers for query p's group and must be masked out
+    of its softmax.
+
+    TPU-native deviation from the reference sampler (utils/CorrptTriples.py:
+    61-85 draws an independent candidate set per positive): a shared pool
+    makes candidate scoring ONE [P, d] x [d, C] MXU matmul against the
+    gathered [C, d] pool rows, where per-query candidates force a [P, C]
+    lane-axis gather out of the [P, N] score matrix that measures ~25
+    cycles/element on v5e (benchmarks/cand_gather_ab.py: 73 of 99 ms per
+    fused-epoch batch fwd+grad). The true-answer exclusion becomes exact
+    per-query masking instead of per-query substitution, so a query faces
+    C - #true_hits negatives instead of exactly C; with C=500 uniform draws
+    over N >> C entities and a handful of true answers per group,
+    E[#true_hits] < 0.1 and the CE objective is statistically unchanged
+    (validated end-to-end: results/round2/ shared-pool run matches per-query
+    val MRR). `negative_pool="per_query"` restores the reference-exact
+    sampler.
+
+    The bad mask is one [P, F] x [F, C] one-hot MXU matmul (same trick as
+    membership.true_answer_mask; entries unique => exact in bf16).
+    """
+    pool = jax.random.randint(rng, (negative_rate,), 0, num_ents, jnp.int32)
+    match = (q_grp[:, None] == grp_sorted[None, :]).astype(jnp.bfloat16)
+    hit = (val_sorted[:, None] == pool[None, :]).astype(jnp.bfloat16)
+    counts = jnp.dot(match, hit, preferred_element_type=jnp.float32)
+    return pool, counts > 0.5
+
+
 def subsample_edges(rng: jax.Array, emask: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Keep exactly floor(rate * n_valid) edges, uniformly without replacement.
 

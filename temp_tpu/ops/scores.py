@@ -165,6 +165,7 @@ def score_candidates_all(
     """
     name = _FN_TO_NAME.get(score_all_fn)
     if _CAND_OVERRIDE == "rowgather" and name is not None:
+        # (benchmarking alternative; see module docstring)
         if name in _QHAT_FNS:
             qhat = _QHAT_FNS[name](q_ent, q_rel, mode)      # [P, d]
             rows = table[candidates]                         # [P, C, d]
@@ -191,3 +192,53 @@ def score_candidates_all(
         full = score_all_fn(q_ent, q_rel, table, mode)      # [P, N]
     full = constrain(full, None, "model")  # shard entity axis across chips
     return jnp.take_along_axis(full, candidates, axis=1)
+
+
+def qhat_for(score_all_fn: Callable, q_ent, q_rel, mode: str):
+    """Public accessor for the decoder's query transform: returns qhat [P, d]
+    with score(p, n) = qhat[p] . table[n] (bilinear decoders only)."""
+    name = _FN_TO_NAME.get(score_all_fn)
+    if name not in _QHAT_FNS:
+        raise ValueError(f"decoder {name} has no qhat form")
+    return _QHAT_FNS[name](q_ent, q_rel, mode)
+
+
+def score_against_rows(
+    score_all_fn: Callable,
+    q_ent: jnp.ndarray,   # [P, d] fixed entity per query
+    q_rel: jnp.ndarray,   # [P, d]
+    rows: jnp.ndarray,    # [C, d] SHARED candidate rows (already gathered)
+    mode: str,
+    dtype=None,
+) -> jnp.ndarray:
+    """[P, C] scores of every query against one shared candidate row set.
+
+    This is the shared-negative-pool fast path (ops/sampling.py
+    draw_shared_negatives): a single [P, d] x [d, C] MXU contraction with f32
+    accumulation — no [P, N] score matrix and no lane-axis gather.
+    """
+    name = _FN_TO_NAME.get(score_all_fn)
+    if name in _QHAT_FNS:
+        qhat = _QHAT_FNS[name](q_ent, q_rel, mode)
+        if dtype is not None:
+            qhat, rows = qhat.astype(dtype), rows.astype(dtype)
+        return jnp.dot(qhat, rows.T, preferred_element_type=jnp.float32)
+    return score_all_fn(q_ent, q_rel, rows, mode)  # transE chunked broadcast
+
+
+def score_positive_rows(
+    score_all_fn: Callable,
+    q_ent: jnp.ndarray,    # [P, d]
+    q_rel: jnp.ndarray,    # [P, d]
+    pos_rows: jnp.ndarray, # [P, d] each query's own positive row
+    mode: str,
+) -> jnp.ndarray:
+    """[P] score of each query against its own positive (elementwise, f32)."""
+    name = _FN_TO_NAME.get(score_all_fn)
+    if name in _QHAT_FNS:
+        qhat = _QHAT_FNS[name](q_ent, q_rel, mode)
+        return jnp.sum(qhat * pos_rows, -1)
+    if name == "transE":
+        q = q_ent + q_rel if mode == "tail" else q_ent - q_rel
+        return -jnp.sum(jnp.abs(q - pos_rows), -1)
+    raise ValueError(f"unsupported decoder for positive-row scoring: {name}")

@@ -79,12 +79,16 @@ class TKGConfig:
     edge_pad_multiple: int = 128   # pad per-snapshot edge buckets to this
     query_pad_multiple: int = 128  # pad eval query counts to this
     neg_oversample: int = 64       # extra uniform draws for rejection sampling
-    negative_pool: str = "shared"  # shared | per_query. "shared" draws ONE
-    #   negative pool per (snapshot, direction) and masks true answers per
-    #   query — candidate scoring becomes a single MXU matmul (~3.9x faster
-    #   fused epochs, benchmarks/cand_gather_ab.py). "per_query" is the
-    #   reference-exact independent-candidates sampler
-    #   (utils/CorrptTriples.py:61-85). See ops/sampling.py.
+    negative_pool: str = "all"  # all | shared | per_query.
+    #   "all": exact softmax against the whole entity table with true-answer
+    #     masking — no sampling, no gathers, one MXU matmul per direction;
+    #     richer objective than sampled CE and the fastest path on TPU.
+    #   "shared": ONE pool of negative_rate draws per (snapshot, direction)
+    #     shared by all positives, true answers masked per query.
+    #   "per_query": the reference-exact independent-candidates sampler
+    #     (utils/CorrptTriples.py:61-85) — [P, N] score matrix + lane gather,
+    #     ~4x slower fused epochs (benchmarks/cand_gather_ab.py).
+    #   See ops/sampling.py and models/objectives.py.
 
     # -- precision ----------------------------------------------------------
     param_dtype: str = "float32"

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.snapshots import TKGData
+from temp_tpu.ops.membership import true_answer_mask
 from temp_tpu.ops.ranking import filtered_ranks
 from temp_tpu.ops.sampling import (draw_negatives, draw_shared_negatives,
                                    subsample_positives)
@@ -47,6 +48,23 @@ def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
     grp_head = dst * r2 + rel
     tail_tbl = (data.train_tail.grp[t_pos], data.train_tail.val[t_pos])
     head_tbl = (data.train_head.grp[t_pos], data.train_head.val[t_pos])
+
+    if cfg.negative_pool == "all":
+        bad_t = true_answer_mask(*tail_tbl, grp_tail, data.num_ents)
+        bad_h = true_answer_mask(*head_tbl, grp_head, data.num_ents)
+
+        def mk_all(bad, pos):
+            def score(qhat, table):
+                dt = cfg.hot_dtype
+                q, t = (qhat, table) if dt is None else (qhat.astype(dt),
+                                                         table.astype(dt))
+                sc = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+                sc = jnp.where(bad, -1e9, sc)
+                sc_pos = jnp.sum(qhat * table[pos], -1)
+                return jnp.concatenate([sc_pos[:, None], sc], axis=1)
+            return score
+
+        return mk_all(bad_t, dst), mk_all(bad_h, src)
 
     if cfg.negative_pool == "shared":
         pool_t, bad_t = draw_shared_negatives(
@@ -105,6 +123,31 @@ def train_loss_single(
     r_emb = rel_embeds[rel]
     grp_tail = src * r2 + rel
     grp_head = dst * r2 + rel
+
+    if cfg.negative_pool == "all":
+        # Exact softmax over ALL entities (minus other true answers) — the
+        # "negatives" are the whole table, so there is nothing to sample and
+        # nothing to gather: one [P, d] x [d, N] MXU matmul per direction
+        # plus the [P, F] x [F, N] true-answer mask matmul. Richer objective
+        # than the reference's 500-sample CE at a fraction of its runtime on
+        # TPU; converges to higher MRR (results/round2/, icews14).
+        def ce_all(tbl_grp, tbl_val, q_grp, q_ent_rows, pos_rows, mode):
+            bad = true_answer_mask(tbl_grp, tbl_val, q_grp, data.num_ents)
+            sc_all = score_against_rows(score_all_fn, q_ent_rows, r_emb,
+                                        table, mode, dtype=cfg.hot_dtype)
+            sc_all = jnp.where(bad, -1e9, sc_all)
+            sc_pos = score_positive_rows(score_all_fn, q_ent_rows, r_emb,
+                                         pos_rows, mode)
+            logits = jnp.concatenate([sc_pos[:, None], sc_all], axis=1)
+            return -jax.nn.log_softmax(logits, axis=-1)[:, 0]
+
+        ce_tail = ce_all(data.train_tail.grp[t_pos],
+                         data.train_tail.val[t_pos], grp_tail,
+                         table[src], table[dst], "tail")
+        ce_head = ce_all(data.train_head.grp[t_pos],
+                         data.train_head.val[t_pos], grp_head,
+                         table[dst], table[src], "head")
+        return _masked_mean(ce_tail, pos_mask) + _masked_mean(ce_head, pos_mask)
 
     if cfg.negative_pool == "shared":
         # TPU fast path: one negative pool per (snapshot, direction), shared

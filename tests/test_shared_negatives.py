@@ -66,6 +66,15 @@ def test_shared_loss_finite_and_close_to_per_query(module):
     assert abs(l_shared - l_pq) / abs(l_pq) < 0.05, (l_shared, l_pq)
 
 
+def test_all_mode_is_full_softmax_with_masking():
+    # "all" scores every entity: at init CE ~ log(1 + #unmasked entities),
+    # strictly above the 33-candidate sampled CE, finite, with live grads
+    l_all, g_all = _loss_for("all")
+    l_pq, _ = _loss_for("per_query")
+    assert np.isfinite(l_all) and g_all > 0
+    assert l_all > l_pq  # 64-entity softmax vs 33-candidate softmax
+
+
 def test_gated_models_support_shared_pool():
     cfg = TKGConfig(
         module="GRRGCN", impute=True, post_ensemble=True, embed_size=32,

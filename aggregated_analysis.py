@@ -41,10 +41,12 @@ def main():
         with open(path, "rb") as f:
             models[name] = pickle.load(f)
 
-    reports = {name: analyze(preds, train_q, args.train_seq_len)
+    reports = {name: analyze(preds, train_q, args.train_seq_len)[0]
                for name, preds in models.items()}
 
-    dims = next(iter(reports.values())).keys()
+    # bucketed dims only — regression_fits/per_time are differently shaped
+    dims = [d for d in next(iter(reports.values()))
+            if d not in ("regression_fits", "per_time")]
     for dim in dims:
         print(f"\n== {dim} (MRR per bucket) ==")
         buckets = sorted({b for r in reports.values() for b in r[dim]})

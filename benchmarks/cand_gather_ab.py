@@ -31,6 +31,10 @@ def main():
     from temp_tpu.ops import scores as S
 
     cfg = TKGConfig.from_json_file("grid/icews14/config_grrgcn.json")
+    # this A/B measures score_candidates_all's gather variants, which only
+    # the reference-exact sampler exercises (the "all"/"shared" defaults
+    # bypass candidate gathering entirely — see objectives.train_loss_single)
+    cfg.negative_pool = "per_query"
     data = jax.device_put(build_tkg_data(cfg))
     model = get_model(cfg, data)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -152,13 +152,14 @@ def write_figures(raw, by_time, out_dir):
         if freqs.size < 2:
             continue
         x = np.log(freqs + 0.01)
+        fits = ols_log_fit(freq_ranks)
         for name, y in (
                 ("hit_10", [float(np.mean(np.asarray(freq_ranks[f]) <= 10))
                             for f in freqs]),
                 ("mrr", [float(np.mean(1.0 / np.asarray(freq_ranks[f], np.float64)))
                          for f in freqs])):
             n = np.array([len(freq_ranks[f]) for f in freqs])
-            fit = ols_log_fit(freq_ranks)[name]
+            fit = fits[name]
             plt.figure(figsize=(6, 4))
             plt.scatter(x, y, s=np.sqrt(n))
             plt.plot(x, fit["slope"] * x + fit["intercept"], color="red")

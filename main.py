@@ -52,11 +52,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     cfg = parse_args(argv)
-    # late imports so --help works without jax init
-    from temp_tpu.data.snapshots import build_tkg_data
-    from temp_tpu.models.registry import get_model
-    from temp_tpu.train.loop import Trainer
-
     mesh = None
     mesh_ctx = None
     if cfg.distributed or cfg.dp_size > 1 or cfg.mp_size > 1:
@@ -75,7 +70,19 @@ def main(argv=None):
             from temp_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(cfg.dp_size, cfg.mp_size)
         mesh_ctx = use_mesh(mesh)
-        mesh_ctx.__enter__()
+
+    from contextlib import nullcontext
+    # exception-safe: a failed fit must not leave the process-global active
+    # mesh set for subsequent in-process callers (tests, retry loops)
+    with mesh_ctx if mesh_ctx is not None else nullcontext():
+        return _run(cfg, mesh)
+
+
+def _run(cfg, mesh):
+    # late imports so --help works without jax init
+    from temp_tpu.data.snapshots import build_tkg_data
+    from temp_tpu.models.registry import get_model
+    from temp_tpu.train.loop import Trainer
 
     print(f"config: module={cfg.module} dataset={cfg.dataset} "
           f"seq_len={cfg.train_seq_len} neg={cfg.negative_rate}")
@@ -84,22 +91,41 @@ def main(argv=None):
           f"{data.num_times} timestamps, train edge pad {data.train.src.shape[1]}")
     model = get_model(cfg, data)
     trainer = Trainer(cfg, model, data, mesh=mesh)
+    import jax as _jax
     params = opt_state = None
-    if cfg.resume and os.path.exists(trainer.ckpt_path()):
+    if cfg.resume:
         # re-attach to the existing run and restore the best checkpoint
-        # (reference main.py:115-122 --resume)
-        params, opt_state, blob = trainer.load_checkpoint()
-        print(f"resumed from epoch {blob['epoch']} "
-              f"(val mrr {blob['metrics'].get('mrr', 0):.4f})")
+        # (reference main.py:115-122 --resume). Multi-process: only the
+        # primary's checkpoint is authoritative; processes without a shared
+        # filesystem build an init-state template and receive the primary's
+        # restored values, so every replica resumes identically.
+        have_ckpt = os.path.exists(trainer.ckpt_path())
+        if _jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+            resume_ok = bool(multihost_utils.broadcast_one_to_all(
+                _np.asarray(have_ckpt)))
+            if resume_ok:
+                if have_ckpt:
+                    params, opt_state, blob = trainer.load_checkpoint()
+                    print(f"resumed from epoch {blob['epoch']} "
+                          f"(val mrr {blob['metrics'].get('mrr', 0):.4f})")
+                else:
+                    params, opt_state = trainer.init_state()  # template
+                params, opt_state = multihost_utils.broadcast_one_to_all(
+                    _jax.tree_util.tree_map(trainer._to_np,
+                                            (params, opt_state)))
+        elif have_ckpt:
+            params, opt_state, blob = trainer.load_checkpoint()
+            print(f"resumed from epoch {blob['epoch']} "
+                  f"(val mrr {blob['metrics'].get('mrr', 0):.4f})")
     result = trainer.fit(params, opt_state)
     print(f"best val mrr {result['best_mrr']:.4f} @ epoch {result['best_epoch']}")
 
     # final test evaluation with the best checkpoint (primary reads it from
     # disk and broadcasts — other hosts may not share the filesystem)
-    import jax as _jax
     if _jax.process_count() > 1:
-        import os as _os
-        if trainer._is_primary() or _os.path.exists(trainer.ckpt_path()):
+        if trainer._is_primary() or os.path.exists(trainer.ckpt_path()):
             params, _, blob = trainer.load_checkpoint()
         else:
             params = result["params"]
@@ -114,8 +140,6 @@ def main(argv=None):
     if trainer._is_primary():
         with open(f"{trainer.run_dir}/test_metrics.json", "w") as f:
             json.dump(test, f, indent=2)
-    if mesh_ctx is not None:
-        mesh_ctx.__exit__(None, None, None)
     return 0
 
 

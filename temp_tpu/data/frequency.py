@@ -202,11 +202,18 @@ def build_freq_features(
         drop_rate_past=past, drop_rate_future=fut,
     )
     if cache_file:
+        # atomic publish — see build_tkg_data's cache write for the rationale
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        np.savez_compressed(cache_file, **{
-            "train_sub": train_sub, "train_obj": train_obj,
-            "valid_sub": valid_sub, "valid_obj": valid_obj,
-            "test_sub": test_sub, "test_obj": test_obj,
-            "drop_rate_past": past, "drop_rate_future": fut,
-        })
+        tmp = f"{cache_file}.{os.getpid()}.tmp.npz"
+        try:
+            np.savez_compressed(tmp, **{
+                "train_sub": train_sub, "train_obj": train_obj,
+                "valid_sub": valid_sub, "valid_obj": valid_obj,
+                "test_sub": test_sub, "test_obj": test_obj,
+                "drop_rate_past": past, "drop_rate_future": fut,
+            })
+            os.replace(tmp, cache_file)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return out

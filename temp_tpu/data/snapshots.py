@@ -335,8 +335,18 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
         train_q, valid_q, test_q, num_ents, num_rels, cfg.edge_pad_multiple
     )
     if cache:
+        # atomic publish: concurrent processes (multi-process DP on one host,
+        # launchers/run_multihost.sh) may race to build the same cache — each
+        # writes a private tmp and os.replace()s it in, so a reader can never
+        # observe a truncated npz; last writer wins with identical bytes.
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        np.savez_compressed(cache_file, **_to_npz(data))
+        tmp = f"{cache_file}.{os.getpid()}.tmp.npz"  # np.savez appends .npz otherwise
+        try:
+            np.savez_compressed(tmp, **_to_npz(data))
+            os.replace(tmp, cache_file)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return data
 
 

@@ -122,13 +122,13 @@ class AggregatorModel:
             w_subj = gate_weight(params["gates"]["subject"], sub_feat)[:, None]
             w_obj = gate_weight(params["gates"]["object"], obj_feat)[:, None]
             from temp_tpu.models.objectives import make_raw_scorers
-            from temp_tpu.ops.scores import qhat_for
+            from temp_tpu.ops.scores import query_for
             score_t, score_h = make_raw_scorers(cfg, data, k_t, k_h, tp,
                                                 src, rel, dst)
-            sc_t = (w_obj * score_t(qhat_for(self.score_all, loc[src], rel_loc[rel], "tail"), loc)
-                    + (1 - w_obj) * score_t(qhat_for(self.score_all, rec[src], rel_rec[rel], "tail"), rec))
-            sc_h = (w_subj * score_h(qhat_for(self.score_all, loc[dst], rel_loc[rel], "head"), loc)
-                    + (1 - w_subj) * score_h(qhat_for(self.score_all, rec[dst], rel_rec[rel], "head"), rec))
+            sc_t = (w_obj * score_t(query_for(self.score_all, loc[src], rel_loc[rel], "tail"), loc)
+                    + (1 - w_obj) * score_t(query_for(self.score_all, rec[src], rel_rec[rel], "tail"), rec))
+            sc_h = (w_subj * score_h(query_for(self.score_all, loc[dst], rel_loc[rel], "head"), loc)
+                    + (1 - w_subj) * score_h(query_for(self.score_all, rec[dst], rel_rec[rel], "head"), rec))
             ce = (-jax.nn.log_softmax(sc_t, -1)[:, 0],
                   -jax.nn.log_softmax(sc_h, -1)[:, 0])
             loss = _masked_mean(ce[0], pos_mask) + _masked_mean(ce[1], pos_mask)

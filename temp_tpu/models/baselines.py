@@ -187,11 +187,11 @@ class SimplEModel(EmbeddingBaseline):
                                                 src, rel, dst)
             # simple() tail mode (utils/scores.py:16-17): bilinear in the
             # candidate; each direction averages two qhat-vs-table terms
-            q1 = emb[src] * re          # vs inv candidates
-            q2 = inv[src] * ri          # vs canonical candidates
+            q1 = (emb[src] * re, "dot")   # vs inv candidates
+            q2 = (inv[src] * ri, "dot")   # vs canonical candidates
             sc_t = 0.5 * (score_t(q1, inv) + score_t(q2, emb))
-            q3 = re * inv[dst]          # head: candidates canonical
-            q4 = ri * emb[dst]          # candidates inverse
+            q3 = (re * inv[dst], "dot")   # head: candidates canonical
+            q4 = (ri * emb[dst], "dot")   # candidates inverse
             sc_h = 0.5 * (score_h(q3, emb) + score_h(q4, inv))
             ce_t = -jax.nn.log_softmax(sc_t, axis=-1)[:, 0]
             ce_h = -jax.nn.log_softmax(sc_h, axis=-1)[:, 0]

@@ -20,8 +20,9 @@ from temp_tpu.ops.membership import true_answer_mask
 from temp_tpu.ops.ranking import filtered_ranks
 from temp_tpu.ops.sampling import (draw_negatives, draw_shared_negatives,
                                    subsample_positives)
-from temp_tpu.ops.scores import (score_against_rows, score_candidates_all,
-                                 score_positive_rows)
+from temp_tpu.ops.scores import (row_scores, score_against_rows,
+                                 score_candidates_all, score_positive_rows,
+                                 table_scores)
 
 
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -33,8 +34,8 @@ def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
                      src, rel, dst):
     """Candidate machinery shared by the gated/ensemble losses (post.py,
     aggregator.py, SimplE): returns (score_tail, score_head), each mapping a
-    query transform `qhat` [P, d] and an entity `table` [N, d] to [P, 1+C]
-    logits with the positive's score in column 0.
+    query (from ops/scores.query_for: (qvec [P, d], kind)) and an entity
+    `table` [N, d] to [P, 1+C] logits with the positive's score in column 0.
 
     Honors cfg.negative_pool: "shared" scores one pool per direction with a
     single MXU matmul + per-query true-answer masking; "per_query" replicates
@@ -54,13 +55,10 @@ def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
         bad_h = true_answer_mask(*head_tbl, grp_head, data.num_ents)
 
         def mk_all(bad, pos):
-            def score(qhat, table):
-                dt = cfg.hot_dtype
-                q, t = (qhat, table) if dt is None else (qhat.astype(dt),
-                                                         table.astype(dt))
-                sc = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+            def score(query, table):
+                sc = table_scores(query, table, cfg.hot_dtype)
                 sc = jnp.where(bad, -1e9, sc)
-                sc_pos = jnp.sum(qhat * table[pos], -1)
+                sc_pos = row_scores(query, table[pos])
                 return jnp.concatenate([sc_pos[:, None], sc], axis=1)
             return score
 
@@ -73,14 +71,10 @@ def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
             k_head, *head_tbl, grp_head, data.num_ents, cfg.negative_rate)
 
         def mk(pool, bad, pos):
-            def score(qhat, table):
-                dt = cfg.hot_dtype
-                rows = table[pool]
-                q, r = (qhat, rows) if dt is None else (qhat.astype(dt),
-                                                        rows.astype(dt))
-                sc_neg = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+            def score(query, table):
+                sc_neg = table_scores(query, table[pool], cfg.hot_dtype)
                 sc_neg = jnp.where(bad, -1e9, sc_neg)
-                sc_pos = jnp.sum(qhat * table[pos], -1)
+                sc_pos = row_scores(query, table[pos])
                 return jnp.concatenate([sc_pos[:, None], sc_neg], axis=1)
             return score
 
@@ -92,11 +86,8 @@ def make_raw_scorers(cfg: TKGConfig, data: TKGData, k_tail, k_head, t_pos,
                             cfg.negative_rate, cfg.neg_oversample)
 
     def mk_pq(cand):
-        def score(qhat, table):
-            dt = cfg.hot_dtype
-            q, t = (qhat, table) if dt is None else (qhat.astype(dt),
-                                                     table.astype(dt))
-            full = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+        def score(query, table):
+            full = table_scores(query, table, cfg.hot_dtype)
             return jnp.take_along_axis(full, cand, axis=1)
         return score
 

@@ -281,7 +281,7 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
         sub_feat, obj_feat = self._features("train", t_pos)
 
         from temp_tpu.models.objectives import make_raw_scorers
-        from temp_tpu.ops.scores import qhat_for
+        from temp_tpu.ops.scores import query_for
         score_t, score_h = make_raw_scorers(cfg, data, k_tail, k_head, t_pos,
                                             src, rel, dst)
 
@@ -293,21 +293,21 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
             w_oq = gate_weight(g["oqse"], obj_feat)[:, None]
             # tail (PostDynamicRGCN.py:263-270): weights from the object-query MLP
             s_blend = w_oq * loc[src] + (1 - w_oq) * rec[src]
-            qh_t = qhat_for(self.score_all, s_blend, r_emb, "tail")
+            qh_t = query_for(self.score_all, s_blend, r_emb, "tail")
             sc_t = w_oq * score_t(qh_t, loc) + (1 - w_oq) * score_t(qh_t, rec)
             # head (PostDynamicRGCN.py:271-278): o_loc reads the REC table
             # in the reference — replicated
             o_blend = rec[dst]
-            qh_h = qhat_for(self.score_all, o_blend, r_emb, "head")
+            qh_h = query_for(self.score_all, o_blend, r_emb, "head")
             sc_h = w_sq * score_h(qh_h, loc) + (1 - w_sq) * score_h(qh_h, rec)
         else:  # post_ensemble (PostEnsembleDynamicRGCN.py:355-363,425-428)
             g = params["gates"]
             w_subj = gate_weight(g["subject"], sub_feat)[:, None]
             w_obj = gate_weight(g["object"], obj_feat)[:, None]
-            sc_t_loc = score_t(qhat_for(self.score_all, loc[src], r_emb, "tail"), loc)
-            sc_t_rec = score_t(qhat_for(self.score_all, rec[src], r_emb, "tail"), rec)
-            sc_h_loc = score_h(qhat_for(self.score_all, loc[dst], r_emb, "head"), loc)
-            sc_h_rec = score_h(qhat_for(self.score_all, rec[dst], r_emb, "head"), rec)
+            sc_t_loc = score_t(query_for(self.score_all, loc[src], r_emb, "tail"), loc)
+            sc_t_rec = score_t(query_for(self.score_all, rec[src], r_emb, "tail"), rec)
+            sc_h_loc = score_h(query_for(self.score_all, loc[dst], r_emb, "head"), loc)
+            sc_h_rec = score_h(query_for(self.score_all, rec[dst], r_emb, "head"), rec)
             sc_t = w_obj * sc_t_loc + (1 - w_obj) * sc_t_rec
             sc_h = w_subj * sc_h_loc + (1 - w_subj) * sc_h_rec
 

@@ -194,13 +194,44 @@ def score_candidates_all(
     return jnp.take_along_axis(full, candidates, axis=1)
 
 
-def qhat_for(score_all_fn: Callable, q_ent, q_rel, mode: str):
-    """Public accessor for the decoder's query transform: returns qhat [P, d]
-    with score(p, n) = qhat[p] . table[n] (bilinear decoders only)."""
+def query_for(score_all_fn: Callable, q_ent, q_rel, mode: str):
+    """Decoder query transform for table scoring: returns (qvec [P, d], kind)
+    where kind="dot" means score(p, n) = qvec[p] . table[n] (bilinear
+    decoders) and kind="l1" means score(p, n) = -|qvec[p] - table[n]|_1
+    (transE). Consumed by table_scores/row_scores below so the gated TED
+    losses (post.py, aggregator.py) work with every decoder the reference
+    supports (utils/scores.py:6-55)."""
     name = _FN_TO_NAME.get(score_all_fn)
-    if name not in _QHAT_FNS:
-        raise ValueError(f"decoder {name} has no qhat form")
-    return _QHAT_FNS[name](q_ent, q_rel, mode)
+    if name in _QHAT_FNS:
+        return _QHAT_FNS[name](q_ent, q_rel, mode), "dot"
+    if name == "transE":
+        # transe_all above: q = s + r (tail) / o - r (head)
+        return (q_ent + q_rel if mode == "tail" else q_ent - q_rel), "l1"
+    raise ValueError(f"decoder {name} has no query-vector form")
+
+
+def table_scores(query, table, dtype=None, chunk=512):
+    """[P, N] scores of query_for() queries against every row of `table`.
+    kind="dot" is one MXU matmul (bf16 operands when dtype is set, f32
+    accumulation); kind="l1" is the chunked transE broadcast (VPU-bound,
+    kept f32 — |.| saturates in bf16)."""
+    q, kind = query
+    if kind == "dot":
+        if dtype is not None:
+            q, table = q.astype(dtype), table.astype(dtype)
+        return jnp.dot(q, table.T, preferred_element_type=jnp.float32)
+    out = []
+    for i in range(0, q.shape[0], chunk):
+        out.append(-jnp.sum(jnp.abs(q[i:i + chunk, None, :] - table[None]), -1))
+    return jnp.concatenate(out, 0)
+
+
+def row_scores(query, rows):
+    """[P] score of each query against its own row ([P, d])."""
+    q, kind = query
+    if kind == "dot":
+        return jnp.sum(q * rows, -1)
+    return -jnp.sum(jnp.abs(q - rows), -1)
 
 
 def score_against_rows(

@@ -46,12 +46,15 @@ def rel_message(
     n_bases: int,
     d_in: int,
     d_out: int,
+    dtype=None,
 ) -> jnp.ndarray:
     """Per-edge block-diagonal relation transform (reference models/RGCN.py:91-95).
 
     weight[r] is a block-diagonal matrix with n_bases blocks of shape
     (d_in/n_bases, d_out/n_bases). When the blocks are 1x1 this is an
-    elementwise scale by a per-relation vector — the MXU-free fast path.
+    elementwise scale by a per-relation vector — the MXU-free fast path
+    (`dtype` is inert there; for real blocks it casts the einsum operands
+    with f32 accumulation).
     """
     si = d_in // n_bases
     so = d_out // n_bases
@@ -60,7 +63,11 @@ def rel_message(
         return h_src * w
     w = w.reshape(-1, n_bases, si, so)
     hb = h_src.reshape(-1, n_bases, si)
-    return jnp.einsum("ebi,ebio->ebo", hb, w).reshape(-1, n_bases * so)
+    if dtype is not None:
+        hb, w = hb.astype(dtype), w.astype(dtype)
+    return jnp.einsum("ebi,ebio->ebo", hb, w,
+                      preferred_element_type=jnp.float32
+                      ).astype(h_src.dtype).reshape(-1, n_bases * so)
 
 
 def rel_spmm(
@@ -95,8 +102,12 @@ def rel_spmm(
     from temp_tpu.parallel.mesh import manual_axis
     part = manual_axis()
     if part is not None and part[1] > 1:
+        # Inside a shard_map region the edge-partitioned row formulation is
+        # the only implemented method (method/TEMP_TPU_SPMM_METHOD knobs are
+        # inert here — same DMA-bound rationale as the row path below);
+        # `dtype` still reaches the block-relation einsum.
         return _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases,
-                                     d_out, num_ents, *part)
+                                     d_out, num_ents, *part, dtype=dtype)
     if method == "auto":
         # The decision is settled by whole-epoch A/B on the real chip, not by
         # isolated-op timings. Isolated (benchmarks/hotspots.py, v5e, d=128
@@ -161,7 +172,7 @@ def _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases, d_out,
 
 
 def _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases, d_out,
-                          num_ents, axis, m):
+                          num_ents, axis, m, dtype=None):
     """Edge-partitioned rel_spmm inside a shard_map region (SURVEY §2.8 north
     star; parallel/edge_partition.py has the standalone shard_map form).
 
@@ -187,7 +198,8 @@ def _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases, d_out,
     deg = jax.lax.psum(
         segment_sum(em_l.astype(jnp.float32), dst_l, num_ents), axis)
     norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
-    msg = rel_message(h[src_l], rel_l, weight, n_bases, d_in, d_out)
+    msg = rel_message(h[src_l], rel_l, weight, n_bases, d_in, d_out,
+                      dtype=dtype)
     msg = msg * (norm[dst_l] * em_l.astype(h.dtype))[:, None]
     agg = jax.lax.psum(segment_sum(msg, dst_l, num_ents), axis)
     return agg * norm[:, None]

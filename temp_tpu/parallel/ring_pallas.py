@@ -61,38 +61,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
-_TILE = 128
+# tiled-MXU building blocks shared with the single-chip kernel — one
+# precision/one-hot policy for both
+from temp_tpu.ops.pallas_spmm import (_TILE, _cdt, _dot, _dot_c0, _onehot,
+                                      _prec, _round_up)
+
 _COLLECTIVE_ID = 11
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
-def _cdt(dtype_str):
-    return jnp.float32 if dtype_str is None else jnp.dtype(dtype_str)
-
-
-def _prec(dtype_str):
-    return jax.lax.Precision.HIGHEST if dtype_str is None else None
-
-
-def _dot(a, b, prec):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-
-
-def _dot_c0(a, b, prec):
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-
-
-def _onehot(ids_col, base, cdt):
-    eb = ids_col.shape[0]
-    c = jax.lax.broadcasted_iota(jnp.int32, (eb, _TILE), 1)
-    return (ids_col == base + c).astype(cdt)
 
 
 def _ring_kernel(src_ref, dstl_ref, rel_ref, em_ref, h_ref, w_ref,

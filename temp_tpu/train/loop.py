@@ -91,7 +91,16 @@ class Trainer:
         # batch axis must divide the data axis to be sharded; otherwise fall
         # back to a replicated schedule (correct, just no DP split)
         dp = self.mesh.shape.get("data", 1)
-        spec = P(None, "data") if t_pos_all.shape[1] % dp == 0 else P()
+        divisible = t_pos_all.shape[1] % dp == 0
+        if not divisible and dp > 1 and self.cfg.edge_partition:
+            # EdgePartitionedModel's shard_map hard-requires the split
+            # (parallel/edge_partition.py loss assert) — fail with guidance
+            # instead of a cryptic trace-time AssertionError.
+            raise ValueError(
+                f"edge_partition=True needs batch_size ({t_pos_all.shape[1]}) "
+                f"divisible by the mesh data axis ({dp}); adjust batch_size "
+                f"or dp_size")
+        spec = P(None, "data") if divisible else P()
         return (put_global(np.asarray(t_pos_all), self.mesh, spec),
                 put_global(np.asarray(t_valid_all), self.mesh, spec))
 

@@ -45,6 +45,27 @@ class TestBucketAnalysis:
         assert any(f.endswith("_hit_10.png") for f in os.listdir(tmp_path))
 
 
+class TestAggregatedAnalysis:
+    def test_cli_two_models(self, tmp_path, capsys, monkeypatch):
+        # regression: analyze() returning (report, raw, by_time) broke the
+        # cross-model CLI, which consumed the old report-only return
+        import pickle
+        import sys
+        a = [(0, 0, 1, 2, "tail", 1), (2, 1, 3, 2, "tail", 10)]
+        b = [(0, 0, 1, 2, "tail", 3), (2, 1, 3, 2, "tail", 2)]
+        pa, pb = tmp_path / "a.pkl", tmp_path / "b.pkl"
+        pa.write_bytes(pickle.dumps(a))
+        pb.write_bytes(pickle.dumps(b))
+        import aggregated_analysis
+        monkeypatch.setattr(sys, "argv", [
+            "aggregated_analysis.py", f"ma={pa}", f"mb={pb}"])
+        aggregated_analysis.main()
+        out = capsys.readouterr().out
+        assert "overall" in out
+        assert "win rate" in out
+        assert "regression_fits" not in out  # non-bucket keys skipped
+
+
 class TestGreedyClassifier:
     def test_recency_tiering(self):
         train = [(0, 0, 1, 5), (0, 0, 2, 3), (0, 0, 3, 1)]

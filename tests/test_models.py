@@ -162,6 +162,29 @@ class TestForward:
                               jnp.asarray([True, True]), jax.random.PRNGKey(1))
             assert np.isfinite(float(loss)), flags
 
+    @pytest.mark.parametrize("pool", ["all", "shared", "per_query"])
+    @pytest.mark.parametrize("flags", [
+        dict(post_aggregation=True),
+        dict(post_ensemble=True),
+    ])
+    def test_gated_losses_support_transe(self, data, flags, pool):
+        # regression: the gated TED losses route through
+        # ops/scores.query_for, which must cover every decoder the reference
+        # supports (utils/scores.py:47-55) — transE has no bilinear qhat form
+        cfg = small_cfg(module="GRRGCN", score_function="transE",
+                        negative_pool=pool, **flags)
+        model = get_model(cfg, data)
+        params = model.init_params(jax.random.PRNGKey(0))
+        t_pos = jnp.asarray([4, 7], jnp.int32)
+        t_valid = jnp.asarray([True, True])
+        loss, grads = jax.value_and_grad(
+            lambda p: model.loss(p, data, t_pos, t_valid, jax.random.PRNGKey(1))
+        )(params)
+        assert np.isfinite(float(loss)), (flags, pool)
+        gsum = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(grads["gates"]))
+        assert np.isfinite(gsum) and gsum > 0
+
     def test_sargcn_ema_and_variants(self, data):
         for module, flags in [
             ("SARGCN", dict(ema=True)),

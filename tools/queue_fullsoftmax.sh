@@ -39,10 +39,12 @@ run bigrrgcn_impute_dropedge_fs -c grid/icews14/config_bigrrgcn.json \
     --compute-dtype $D --impute --edge-dropout
 
 # ensemble of the two full-softmax components (reference launcher_baseline.sh
-# Aggregator stage; main.py:57-79 module remap)
+# Aggregator stage; main.py:57-79 module remap). Temporal component is the
+# seed-7 replication — the original bigrrgcn_impute_fullsoftmax run's
+# checkpoint was not archived (metrics only).
 run aggregator_fs -c grid/icews14/config_bigrrgcn.json \
     --compute-dtype $D --module Aggregator --max-nb-epochs 15 \
     --spatial-checkpoint results/round2/srgcn_fs \
-    --temporal-checkpoint results/round2/bigrrgcn_impute_fullsoftmax
+    --temporal-checkpoint results/round2/bigrrgcn_impute_fs_s7
 
 echo "=== queue done"

@@ -5,7 +5,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: edges/s/chip through the REAL training path — the fused whole-epoch
 dispatch (46 batches of 8 target times, 15-snapshot history scan, 2-layer
-block-diag RGCN + GRU, device-side negative sampling with 500 negatives,
+block-diag RGCN + GRU, exact full-softmax objective over the entity table
+[negative_pool="all", the training default; one MXU matmul per direction],
 tail+head CE, backward + Adam). Timing is serialized with a host value fetch
 per epoch because bare block_until_ready can be a no-op on remote-attached
 backends (async deferral) and would overstate throughput ~50x.

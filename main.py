@@ -93,7 +93,20 @@ def _run(cfg, mesh):
     trainer = Trainer(cfg, model, data, mesh=mesh)
     import jax as _jax
     params = opt_state = None
-    if cfg.resume:
+    fit_kw = {}
+    if cfg.resume and _jax.process_count() == 1:
+        # preemption state takes precedence: it carries the LATEST params +
+        # optimizer + early-stop counters (written by the SIGTERM handler,
+        # train/loop.py save_last), so training continues mid-run instead of
+        # restarting from the best epoch (reference equivalent: Lightning's
+        # SLURM auto-resubmit, test.py:136).
+        last = trainer.load_last()
+        if last is not None:
+            params, opt_state, start_epoch, best = last
+            fit_kw = {"start_epoch": start_epoch, "best": best}
+            print(f"resumed preempted run at epoch {start_epoch} "
+                  f"(best mrr {best[0]:.4f} @ epoch {best[1]})")
+    if cfg.resume and params is None:
         # re-attach to the existing run and restore the best checkpoint
         # (reference main.py:115-122 --resume). Multi-process: only the
         # primary's checkpoint is authoritative; processes without a shared
@@ -119,8 +132,10 @@ def _run(cfg, mesh):
             params, opt_state, blob = trainer.load_checkpoint()
             print(f"resumed from epoch {blob['epoch']} "
                   f"(val mrr {blob['metrics'].get('mrr', 0):.4f})")
-    result = trainer.fit(params, opt_state)
+    result = trainer.fit(params, opt_state, **fit_kw)
     print(f"best val mrr {result['best_mrr']:.4f} @ epoch {result['best_epoch']}")
+    if result.get("preempted"):
+        return 75  # EX_TEMPFAIL: tell the scheduler to requeue with --resume
 
     # final test evaluation with the best checkpoint (primary reads it from
     # disk and broadcasts — other hosts may not share the filesystem)

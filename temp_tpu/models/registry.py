@@ -12,7 +12,47 @@ from temp_tpu.config import TKGConfig
 from temp_tpu.data.snapshots import TKGData
 
 
+def normalize_remap_flags(cfg: TKGConfig) -> TKGConfig:
+    """Resolve the post/impute flag combinations to the variant the reference
+    remap table selects (main.py:57-79), so ambiguous flag sets pick the SAME
+    behavior here.
+
+    The reference's effective behavior is fully determined by the class the
+    remap chooses (the Post*/PostEnsemble* classes gate the loc-path
+    imputation on args.impute internally, models/RRGCN.py:245-247, while
+    Impute* imputes by construction), so normalizing the flags to a mutually
+    exclusive set reproduces it exactly:
+
+    - DynamicRGCN (GRRGCN/RRGCN), main.py:66-72 — an `if` followed by an
+      `if/elif`: post_ensemble OVERRIDES post_aggregation when both are set,
+      and impute OVERRIDES post_aggregation when post_ensemble is unset
+      (the second `if/elif` rebinds `module` away from PostDynamicRGCN).
+    - BiDynamicRGCN (BiGRRGCN/BiRRGCN), main.py:58-64 — a pure elif chain:
+      post_aggregation > post_ensemble > impute; impute stays meaningful
+      under post_aggregation (gated inside PostBi*, BiRRGCN.py:311-313).
+    - SelfAttentionRGCN / BiSelfAttentionRGCN, main.py:74-79 — only
+      post_aggregation remaps; post_ensemble/impute are ignored entirely.
+    """
+    m = cfg.module
+    if m in ("GRRGCN", "RRGCN"):
+        if cfg.post_ensemble and cfg.post_aggregation:
+            return cfg.replace(post_aggregation=False)
+        if cfg.impute and cfg.post_aggregation and not cfg.post_ensemble:
+            return cfg.replace(post_aggregation=False)
+        return cfg
+    if m in ("BiGRRGCN", "BiRRGCN"):
+        if cfg.post_aggregation and cfg.post_ensemble:
+            return cfg.replace(post_ensemble=False)
+        return cfg
+    if m in ("SARGCN", "BiSARGCN"):
+        if cfg.post_ensemble or cfg.impute:
+            return cfg.replace(post_ensemble=False, impute=False)
+        return cfg
+    return cfg
+
+
 def get_model(cfg: TKGConfig, data: TKGData):
+    cfg = normalize_remap_flags(cfg)
     module = cfg.module
     if module in ("GRRGCN", "RRGCN"):
         if cfg.post_ensemble or cfg.post_aggregation or cfg.impute:

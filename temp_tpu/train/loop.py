@@ -202,7 +202,18 @@ class Trainer:
         return m
 
     def fit(self, params=None, opt_state=None, max_epochs: Optional[int] = None,
-            log_fn=print) -> Dict[str, Any]:
+            log_fn=print, start_epoch: int = 0,
+            best: Optional[tuple] = None) -> Dict[str, Any]:
+        """Train to early stop. All per-epoch randomness (shuffle order,
+        dropout/sampling keys) is derived from (cfg.seed, epoch) alone, so a
+        run resumed at epoch k via `start_epoch`/`best` replays exactly the
+        epochs an uninterrupted run would have executed
+        (tests/test_preemption.py). SIGTERM/SIGUSR1 checkpoint the full
+        training state to checkpoints/last.ckpt and leave the loop cleanly —
+        the jax-native equivalent of Lightning's SLURM auto-resubmit handlers
+        (reference test.py:136 register_slurm_signal_handlers)."""
+        import signal
+
         cfg = self.cfg
         if params is None:
             params, opt_state = self.init_state()
@@ -210,17 +221,32 @@ class Trainer:
             from temp_tpu.parallel.mesh import replicated
             params = jax.device_put(params, replicated(self.mesh))
             opt_state = jax.device_put(opt_state, replicated(self.mesh))
-        np_rng = np.random.RandomState(cfg.seed)
-        rng = jax.random.PRNGKey(cfg.seed)
-        best_mrr, best_epoch = -1.0, -1
+        best_mrr, best_epoch = best if best is not None else (-1.0, -1)
         max_epochs = max_epochs or cfg.max_nb_epochs
         if self._is_primary():
             os.makedirs(self.run_dir, exist_ok=True)
             with open(os.path.join(self.run_dir, "config.json"), "w") as f:
                 f.write(cfg.to_json())
 
-        for epoch in range(max_epochs):
+        self._stop_requested = False
+
+        def _request_stop(signum, frame):
+            self._stop_requested = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):
+                pass  # not in main thread / unsupported signal
+
+        preempted = False
+        epoch = start_epoch - 1
+        try:
+          for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
+            np_rng = np.random.RandomState(
+                (cfg.seed * 1000003 + 7919 * epoch) % (2 ** 32))
             t_pos_all, t_valid_all = self._stack_batches(
                 self.data.num_times, cfg.batch_size, np_rng)
             if cfg.fast_dev_run:
@@ -229,7 +255,7 @@ class Trainer:
                 # --debug trains on ~10% of batches (main.py:133-135)
                 k = max(1, len(t_pos_all) // 10)
                 t_pos_all, t_valid_all = t_pos_all[:k], t_valid_all[:k]
-            rng, epoch_key = jax.random.split(rng)
+            epoch_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             tp, tv = self._put_batches(t_pos_all, t_valid_all)
             if self.mesh is not None:
                 from temp_tpu.parallel.mesh import replicated
@@ -258,21 +284,70 @@ class Trainer:
             if val["mrr"] > best_mrr:
                 best_mrr, best_epoch = val["mrr"], epoch
                 self.save_checkpoint(params, opt_state, epoch, val)
+            if self._stop_requested:
+                preempted = True
+                self.save_last(params, opt_state, epoch, best_mrr, best_epoch)
+                log_fn(f"preempted at epoch {epoch}: training state saved to "
+                       f"{self.last_ckpt_path()}; rerun with --resume")
+                break
             if epoch - best_epoch >= cfg.patience:
                 log_fn(f"early stop at epoch {epoch} (best mrr {best_mrr:.4f} "
                        f"@ epoch {best_epoch})")
                 break
             if cfg.fast_dev_run:
                 break
+        finally:
+            for sig, h in prev_handlers.items():
+                try:
+                    signal.signal(sig, h if h is not None else signal.SIG_DFL)
+                except (ValueError, OSError):
+                    pass
+
+        if not preempted and self._is_primary():
+            # a finished run must not leave a stale mid-training state behind
+            # (a later --resume would restart from it instead of being done)
+            import shutil
+            shutil.rmtree(self.last_ckpt_path(), ignore_errors=True)
 
         return {"best_mrr": best_mrr, "best_epoch": best_epoch,
                 "params": params, "opt_state": opt_state,
-                "history": self.history}
+                "history": self.history, "preempted": preempted,
+                "last_epoch": epoch}
 
     # -- checkpointing ------------------------------------------------------
 
     def ckpt_path(self) -> str:
         return os.path.join(self.run_dir, "checkpoints", "best.ckpt")
+
+    def last_ckpt_path(self) -> str:
+        return os.path.join(self.run_dir, "checkpoints", "last.ckpt")
+
+    def save_last(self, params, opt_state, epoch: int, best_mrr: float,
+                  best_epoch: int):
+        """Mid-training state for preemption resume: params + opt_state at
+        `epoch`, plus the early-stopping counters. Randomness needs no state
+        here — fit() derives every epoch's keys from (seed, epoch)."""
+        host_params = jax.tree_util.tree_map(self._to_np, params)
+        host_opt = jax.tree_util.tree_map(self._to_np, opt_state)
+        if not self._is_primary():
+            return
+        from temp_tpu.train.checkpoint import save_blob
+        path = self.last_ckpt_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        save_blob(path, host_params, host_opt, epoch,
+                  {"best_mrr": best_mrr, "best_epoch": float(best_epoch)})
+
+    def load_last(self):
+        """(params, opt_state, start_epoch, (best_mrr, best_epoch)) from a
+        preemption checkpoint, or None if there isn't one."""
+        path = self.last_ckpt_path()
+        if not os.path.exists(path):
+            return None
+        params, opt_state, blob = self.load_checkpoint(path)
+        m = blob["metrics"]
+        return (params, opt_state, int(blob["epoch"]) + 1,
+                (float(m.get("best_mrr", -1.0)),
+                 int(m.get("best_epoch", -1))))
 
     def save_checkpoint(self, params, opt_state, epoch: int, metrics: Dict):
         # every process materializes host numpy (local reads of replicated

@@ -10,6 +10,11 @@ Restores (config.json, checkpoints/best.ckpt) from the experiment dir,
 evaluates filtered MRR / Hits@1/3/10 on the chosen split, and writes a
 predictions pickle of (head, rel, tail, time, mode, rank) six-tuples
 (reference test.py:315-333 get_predictions) next to the checkpoint.
+
+The whole eval sweep runs under ONE fused dispatch (train/loop.py eval_epoch,
+a lax.scan over all batches) instead of per-batch eval_step launches — the
+same path the Trainer uses for validation, so the number printed here is the
+number the early stopper saw.
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ import argparse
 import json
 import os
 import pickle
+import time
 
 
 def main():
@@ -35,7 +41,7 @@ def main():
     from temp_tpu.data.snapshots import build_tkg_data
     from temp_tpu.models.objectives import metrics_from_ranks
     from temp_tpu.models.registry import get_model
-    from temp_tpu.train.loop import Trainer, batched_time_positions, load_checkpoint_params
+    from temp_tpu.train.loop import Trainer, load_checkpoint_params
 
     cfg, params, blob = load_checkpoint_params(args.checkpoint_path)
     if args.data_root:
@@ -47,39 +53,45 @@ def main():
     model = get_model(cfg, data)
     trainer = Trainer(cfg, model, data, run_dir=args.checkpoint_path)
 
-    edges = {"valid": data.valid, "test": data.test}[args.split]
-    all_ranks, all_masks, records = [], [], []
-    for t_pos, t_valid in batched_time_positions(
-            data.num_times, cfg.batch_size, None):
-        ranks, mask, _ = trainer.eval_step(
-            params, trainer.data, jnp.asarray(t_pos), jnp.asarray(t_valid),
-            args.split)
-        ranks, mask = np.asarray(ranks), np.asarray(mask)
-        all_ranks.append(ranks)
-        all_masks.append(mask)
-        if args.no_predictions:
-            continue
-        # rank layout per element: [head-ranks(Q), tail-ranks(Q)]
-        for b, tp in enumerate(t_pos):
-            if not t_valid[b]:
-                continue
-            q = int(np.asarray(edges.n_edges)[tp])
-            E = edges.src.shape[1]
-            src = np.asarray(edges.src[tp][:q])
-            rel = np.asarray(edges.rel[tp][:q])
-            dst = np.asarray(edges.dst[tp][:q])
-            t_raw = int(np.asarray(data.times)[tp])
-            head_ranks = ranks[b, :E][:q]
-            tail_ranks = ranks[b, E:][:q]
-            for i in range(q):
-                records.append((int(src[i]), int(rel[i]), int(dst[i]), t_raw,
-                                "head", int(head_ranks[i])))
-                records.append((int(src[i]), int(rel[i]), int(dst[i]), t_raw,
-                                "tail", int(tail_ranks[i])))
-
-    m = metrics_from_ranks(np.concatenate(all_ranks), np.concatenate(all_masks))
+    t_pos_all, t_valid_all = trainer._stack_batches(
+        data.num_times, cfg.batch_size, None)
+    tp, tv = jnp.asarray(t_pos_all), jnp.asarray(t_valid_all)
+    t0 = time.time()
+    ranks, mask, _ = trainer.eval_epoch(params, trainer.data, tp, tv,
+                                        args.split)
+    ranks = np.asarray(ranks)   # [n_batches, B, 2E] (sync included in timing)
+    mask = np.asarray(mask)
+    eval_s = time.time() - t0
+    m = metrics_from_ranks(ranks.reshape(-1, ranks.shape[-1]),
+                           mask.reshape(-1, mask.shape[-1]))
     print(f"{args.split}: mrr={m['mrr']:.4f} h1={m['hit_1']:.4f} "
-          f"h3={m['hit_3']:.4f} h10={m['hit_10']:.4f} (n={m['n']})")
+          f"h3={m['hit_3']:.4f} h10={m['hit_10']:.4f} (n={m['n']}, "
+          f"{eval_s:.1f}s fused sweep, {m['n'] / eval_s:.0f} queries/s)")
+    m["eval_s"] = round(eval_s, 3)
+
+    records = []
+    if not args.no_predictions:
+        edges = {"valid": data.valid, "test": data.test}[args.split]
+        n_edges = np.asarray(edges.n_edges)
+        times_raw = np.asarray(data.times)
+        E = edges.src.shape[1]
+        for bi in range(t_pos_all.shape[0]):
+            for b, tpos in enumerate(t_pos_all[bi]):
+                if not t_valid_all[bi][b]:
+                    continue
+                q = int(n_edges[tpos])
+                src = np.asarray(edges.src[tpos][:q]).tolist()
+                rel = np.asarray(edges.rel[tpos][:q]).tolist()
+                dst = np.asarray(edges.dst[tpos][:q]).tolist()
+                t_raw = int(times_raw[tpos])
+                hr = ranks[bi, b, :E][:q].tolist()
+                tr = ranks[bi, b, E:][:q].tolist()
+                for i in range(q):
+                    records.append((src[i], rel[i], dst[i], t_raw,
+                                    "head", hr[i]))
+                    records.append((src[i], rel[i], dst[i], t_raw,
+                                    "tail", tr[i]))
+
     out_dir = args.checkpoint_path
     with open(os.path.join(out_dir, f"{args.split}_metrics.json"), "w") as f:
         json.dump(m, f, indent=2)

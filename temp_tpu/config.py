@@ -119,10 +119,29 @@ class TKGConfig:
     # -- parallelism (new; reference only had DDP: utils/args.py:12) --------
     dp_size: int = 1       # data-parallel size over target-time batches
     mp_size: int = 1       # model axis: entity/edge partitioning
-    edge_partition: bool = False  # shard_map training/eval: every rel_spmm
-    #   partitions its edges over the model axis with psum'd partials
-    #   (SURVEY §2.8 north star; parallel/edge_partition.py). Off = GSPMD
-    #   sharding constraints only.
+    edge_partition: object = False  # shard_map training/eval: every rel_spmm
+    #   partitions its edges over the model axis (SURVEY §2.8 north star;
+    #   parallel/edge_partition.py). Accepted values:
+    #     False        — GSPMD sharding constraints only
+    #     True|"psum"  — each chip aggregates an edge chunk into a partial
+    #                    [N, d] buffer; partials combined with psum
+    #     "ring"       — entity states row-sharded inside the op; shards
+    #                    rotate over ICI (lax.ppermute), each chip aggregates
+    #                    the visiting shard's messages into its OWN dst rows
+    #                    (edges dst-owner-grouped by the data pipeline);
+    #                    exchange overlaps with local aggregation
+    #     "ring_pallas"— same protocol with explicit Pallas async remote
+    #                    copies (parallel/ring_pallas.py)
+
+    @property
+    def edge_partition_mode(self) -> Optional[str]:
+        if not self.edge_partition:
+            return None
+        if self.edge_partition is True:
+            return "psum"
+        mode = str(self.edge_partition)
+        assert mode in ("psum", "ring", "ring_pallas"), mode
+        return mode
     distributed: bool = False  # multi-process: jax.distributed + global mesh
     #   (DDP equivalent of reference --distributed_backend ddp; coordinator
     #    via TEMP_TPU_COORDINATOR/NUM_PROCS/PROC_ID env or TPU-pod autodetect;

@@ -313,7 +313,7 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
     cache_file = os.path.join(_CACHE_DIR, f"tkg_{os.path.basename(path)}_{key}.npz")
     if cache and os.path.exists(cache_file):
         z = np.load(cache_file)
-        return _from_npz(z, num_ents, num_rels)
+        return _ring_layout(cfg, _from_npz(z, num_ents, num_rels))
 
     train_q, _ = load_quadruples(path, "train.txt")
     valid_q, _ = load_quadruples(path, "valid.txt")
@@ -347,6 +347,17 @@ def build_tkg_data(cfg: TKGConfig, cache: bool = True) -> TKGData:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+    return _ring_layout(cfg, data)
+
+
+def _ring_layout(cfg: TKGConfig, data: TKGData) -> TKGData:
+    """Apply the dst-owner-grouped edge layout when the config selects a
+    ring edge-partition mode (parallel/edge_partition.ring_regroup_data).
+    Done here — not in the Trainer — so everything downstream (models, freq
+    features, DropEdge rates) sees ONE consistent edge order."""
+    if cfg.edge_partition_mode in ("ring", "ring_pallas") and cfg.mp_size > 1:
+        from temp_tpu.parallel.edge_partition import ring_regroup_data
+        return ring_regroup_data(data, cfg.mp_size)
     return data
 
 

@@ -102,12 +102,20 @@ def rel_spmm(
     from temp_tpu.parallel.mesh import manual_axis
     part = manual_axis()
     if part is not None and part[1] > 1:
-        # Inside a shard_map region the edge-partitioned row formulation is
-        # the only implemented method (method/TEMP_TPU_SPMM_METHOD knobs are
-        # inert here — same DMA-bound rationale as the row path below);
-        # `dtype` still reaches the block-relation einsum.
+        # Inside a shard_map region the partitioned formulations are the only
+        # implemented methods (method/TEMP_TPU_SPMM_METHOD knobs are inert
+        # here); `dtype` still reaches the block-relation einsum. The mode
+        # picks the exchange: "psum" chunks edges arbitrarily and all-reduces
+        # full [N, d] partials; "ring"/"ring_pallas" require dst-owner-grouped
+        # edges (parallel/edge_partition.ring_regroup_data) and rotate
+        # row-sharded entity states over ICI instead.
+        axis, mp, mode = part
+        if mode in ("ring", "ring_pallas"):
+            return _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases,
+                                  d_out, num_ents, axis, mp, dtype=dtype,
+                                  pallas=(mode == "ring_pallas"))
         return _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases,
-                                     d_out, num_ents, *part, dtype=dtype)
+                                     d_out, num_ents, axis, mp, dtype=dtype)
     if method == "auto":
         # The decision is settled by whole-epoch A/B on the real chip, not by
         # isolated-op timings. Isolated (benchmarks/hotspots.py, v5e, d=128
@@ -169,6 +177,89 @@ def _rel_spmm_onehot(h, src, dst, rel, emask, weight, n_bases, d_out,
     agg = jnp.dot(scatter.T, msg, precision=hi,
                   preferred_element_type=jnp.float32)
     return agg * norm[:, None]
+
+
+def _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases, d_out,
+                   num_ents, axis, m, dtype=None, pallas=False):
+    """Ring-exchanged rel_spmm inside a shard_map region (SURVEY §2.8 north
+    star: boundary-embedding exchange overlapped with local aggregation).
+
+    Entity states are row-sharded across the `m` members of mesh axis `axis`;
+    at ring step k each member aggregates the messages whose src lives in the
+    currently-visiting shard into its OWN dst rows, then rotates the shard
+    left with `lax.ppermute` (or, pallas=True, an explicit Pallas
+    async-remote-copy pipeline, parallel/ring_pallas.py) — the rotation of
+    step k+1's operand rides ICI underneath step k's gather/scale/scatter.
+    Degrees are exact without any collective because every edge lives on the
+    member that owns its dst row (the caller's edge slices must be dst-owner
+    grouped: parallel/edge_partition.ring_regroup_data). One all-gather
+    replicates the disjoint output rows for the non-SpMM model math.
+
+    vs "psum" mode per member per call: psum moves 2(m-1)/m·N·d_out (the
+    all-reduce) while ring moves (m-1)/m·N·(d_in + d_out) (rotation +
+    gather), with the rotation overlapped — equal volume at d_in == d_out but
+    latency-hidden, and strictly less whenever the SpMM widens/narrows.
+    benchmarks/comm_volume.py quantifies both for the production shapes.
+    """
+    from temp_tpu.parallel.edge_partition import ring_geometry
+
+    d_in = h.shape[-1]
+    E = src.shape[0]
+    assert E % m == 0, (
+        f"ring mode needs dst-owner-grouped edges (E={E} not divisible by "
+        f"m={m}); build data with edge_partition='ring' so build_tkg_data "
+        f"applies ring_regroup_data")
+    rows = ring_geometry(num_ents, m)
+    me = jax.lax.axis_index(axis)
+
+    # my edge slice: exactly the edges whose dst rows I own
+    cap = E // m
+    eidx = me * cap + jnp.arange(cap, dtype=src.dtype)
+    src_l, rel_l = src[eidx], rel[eidx]
+    em_l = emask[eidx]
+    dst_loc = jnp.clip(dst[eidx] - me * rows, 0, rows - 1)
+
+    # my row shard of the (padded) entity states
+    h_pad = jnp.pad(h, ((0, m * rows - num_ents), (0, 0)))
+    h_loc = jax.lax.dynamic_slice_in_dim(h_pad, me * rows, rows, 0)
+
+    deg = segment_sum(em_l.astype(jnp.float32), dst_loc, rows)
+    norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+
+    if pallas and n_bases == d_in == d_out:
+        from temp_tpu.parallel.ring_pallas import _ring_spmm
+        dtype_str = None if dtype is None else jnp.dtype(dtype).name
+        Rp = -(-weight.shape[0] // 128) * 128
+        wp = jnp.pad(weight.astype(jnp.float32),
+                     ((0, Rp - weight.shape[0]), (0, 0)))
+        interpret = jax.default_backend() != "tpu"
+        out_loc = _ring_spmm(
+            h_loc.astype(jnp.float32), wp,
+            src_l.astype(jnp.int32).reshape(-1, 1),
+            dst_loc.astype(jnp.int32).reshape(-1, 1),
+            rel_l.astype(jnp.int32).reshape(-1, 1),
+            em_l.astype(jnp.float32).reshape(-1, 1),
+            m, rows, axis, dtype_str, interpret).astype(h.dtype)
+    else:
+        edge_scale = (norm[dst_loc] * em_l.astype(h.dtype))[:, None]
+
+        h_visit = h_loc
+        acc = jnp.zeros((rows, d_out), h.dtype)
+        perm = [(i, (i - 1) % m) for i in range(m)]  # pull next shard
+        for k in range(m):  # unrolled: XLA overlaps permute k with compute k
+            owner = (me + k) % m
+            sel = (src_l // rows) == owner
+            local_src = jnp.where(sel, src_l - owner * rows, 0)
+            msg = rel_message(h_visit[local_src], rel_l, weight, n_bases,
+                              d_in, d_out, dtype=dtype)
+            acc = acc + segment_sum(msg * (edge_scale * sel[:, None]),
+                                    dst_loc, rows)
+            if k < m - 1:
+                h_visit = jax.lax.ppermute(h_visit, axis, perm)
+        out_loc = acc * norm[:, None]
+
+    out = jax.lax.all_gather(out_loc, axis, tiled=True)  # [m*rows, d_out]
+    return out[:num_ents]
 
 
 def _rel_spmm_partitioned(h, src, dst, rel, emask, weight, n_bases, d_out,

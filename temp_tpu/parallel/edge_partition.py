@@ -129,6 +129,89 @@ def ring_rel_spmm(
     return shard(shard_fn)(h, src, dst, rel, emask, weight)
 
 
+def ring_geometry(num_ents: int, m: int, align: int = 128) -> int:
+    """Rows per ring shard: ceil(num_ents / m) rounded up to `align` (128 so
+    the Pallas ring's VMEM tiles stay aligned; harmless padding for the XLA
+    ring). Shared by the data-pipeline regrouper and the in-graph ops so the
+    dst-owner assignment they compute is identical."""
+    rows = -(-num_ents // m)            # ceil division
+    return max(align, -(-rows // align) * align)
+
+
+def ring_regroup_data(data, m: int, align: int = 128):
+    """Re-layout a TKGData for ring-mode edge partitioning (host-side, called
+    from build_tkg_data when cfg.edge_partition selects a ring mode).
+
+    Produces a TKGData whose TRAIN edge arrays are grouped by dst owner —
+    slice i of every per-snapshot edge row contains exactly the edges whose
+    dst entity ring shard i owns — and whose compact active sets are laid out
+    per global shard (slice i of act_idx holds the active entities global
+    shard i owns, padded per shard), so the SAME edge order is dst-owner
+    grouped in BOTH global space (final snapshot step) and compact space
+    (history steps): an edge's compact owner dst_loc // A_cap equals its
+    global owner dst // rows by construction.
+
+    Semantically neutral: reordering edges permutes reduction order only, and
+    every consumer (SpMM, sampling, scoring) is permutation-invariant.
+    """
+    import numpy as np
+
+    rows = ring_geometry(data.num_ents, m, align)
+    T = data.num_times
+    src = np.asarray(data.train.src)
+    dst = np.asarray(data.train.dst)
+    rel = np.asarray(data.train.rel)
+    emask = np.asarray(data.train.emask)
+    active = np.asarray(data.active)
+
+    # per-(t, shard) owned active entities and owned edges
+    act_lists = [[np.nonzero(active[t, i * rows:(i + 1) * rows])[0] + i * rows
+                  if i * rows < data.num_ents else np.zeros(0, np.int64)
+                  for i in range(m)] for t in range(T)]
+    edge_lists = [[np.nonzero((dst[t] // rows == i) & emask[t])[0]
+                   for i in range(m)] for t in range(T)]
+    a_cap = max(align, -(-max(len(a) for row in act_lists for a in row)
+                         // align) * align)
+    e_cap = max(8, -(-max(1, max(len(e) for row in edge_lists for e in row))
+                     // 8) * 8)
+
+    A_new, E_new = m * a_cap, m * e_cap
+    act_idx = np.full((T, A_new), data.num_ents, np.int32)
+    act_mask = np.zeros((T, A_new), bool)
+    n_src = np.zeros((T, E_new), np.int32)
+    n_dst = np.zeros((T, E_new), np.int32)
+    n_rel = np.zeros((T, E_new), np.int32)
+    n_em = np.zeros((T, E_new), bool)
+    n_srcl = np.zeros((T, E_new), np.int32)
+    n_dstl = np.zeros((T, E_new), np.int32)
+
+    for t in range(T):
+        # global id -> compact slot (slot = shard * a_cap + rank in shard)
+        g2l = np.full(data.num_ents + 1, A_new, np.int64)
+        for i in range(m):
+            ids = act_lists[t][i]
+            s = i * a_cap
+            act_idx[t, s:s + len(ids)] = ids
+            act_mask[t, s:s + len(ids)] = True
+            g2l[ids] = s + np.arange(len(ids))
+        for i in range(m):
+            e = edge_lists[t][i]
+            s = i * e_cap
+            n_src[t, s:s + len(e)] = src[t, e]
+            n_dst[t, s:s + len(e)] = dst[t, e]
+            n_rel[t, s:s + len(e)] = rel[t, e]
+            n_em[t, s:s + len(e)] = True
+            n_srcl[t, s:s + len(e)] = g2l[src[t, e]]
+            n_dstl[t, s:s + len(e)] = g2l[dst[t, e]]
+            # padding slots must stay inside shard i in both spaces
+            n_dst[t, s + len(e):s + e_cap] = min(i * rows, data.num_ents - 1)
+            n_dstl[t, s + len(e):s + e_cap] = i * a_cap
+
+    train = data.train.replace(src=n_src, dst=n_dst, rel=n_rel, emask=n_em)
+    return data.replace(train=train, act_idx=act_idx, act_mask=act_mask,
+                        train_src_loc=n_srcl, train_dst_loc=n_dstl)
+
+
 def group_edges_by_dst_owner(src, dst, rel, emask, num_ents: int, m: int):
     """Host-side prep: reorder+pad edges so each device's shard-contiguous
     slice contains exactly the edges whose dst row it owns."""
@@ -174,10 +257,12 @@ class EdgePartitionedModel:
     lax.scan, value_and_grad, and multi-process meshes unchanged.
     """
 
-    def __init__(self, model, mesh: Mesh, axis: str = "model"):
+    def __init__(self, model, mesh: Mesh, axis: str = "model",
+                 mode: str = "psum"):
         self.inner = model
         self.mesh = mesh
         self.axis = axis
+        self.mode = mode  # "psum" | "ring" | "ring_pallas" (ops/segment.py)
         self.mp = mesh.shape[axis]
         self.dp = mesh.shape.get("data", 1)
 
@@ -194,12 +279,13 @@ class EdgePartitionedModel:
         B = t_pos.shape[0]
         assert B % self.dp == 0, (B, self.dp)
         inner, axis, mp, dp = self.inner, self.axis, self.mp, self.dp
+        mode = self.mode
 
         def fn(params, data, t_pos, t_valid, rng):
             if dp > 1:
                 # distinct sampling/subsample streams per data shard
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            with manual_partition(axis, mp):
+            with manual_partition(axis, mp, mode):
                 local = inner.loss(params, data, t_pos, t_valid, rng)
             # dp=1: value-identity, but still needed to type the output as
             # replicated over `data` (the local loss is batch-derived)
@@ -207,7 +293,11 @@ class EdgePartitionedModel:
 
         shard = partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=self._specs(data, 2) + (P(),), out_specs=P())
+            in_specs=self._specs(data, 2) + (P(),), out_specs=P(),
+            # ring modes replicate via all_gather, whose vma type stays
+            # 'varying' (no varying->invariant cast exists); values are
+            # replicated — invariance pinned by tests/test_ring_mode.py
+            check_vma=self.mode == "psum")
         return shard(fn)(params, data, t_pos, t_valid, rng)
 
     def eval_ranks(self, params, data, t_pos, t_valid, split: str):
@@ -216,9 +306,10 @@ class EdgePartitionedModel:
         B = t_pos.shape[0]
         assert B % self.dp == 0, (B, self.dp)
         inner, axis, mp, dp = self.inner, self.axis, self.mp, self.dp
+        mode = self.mode
 
         def fn(params, data, t_pos, t_valid):
-            with manual_partition(axis, mp):
+            with manual_partition(axis, mp, mode):
                 ranks, mask, bce = inner.eval_ranks(params, data, t_pos,
                                                     t_valid, split)
             # bce is the mean over local batch elements that have queries;
@@ -233,5 +324,6 @@ class EdgePartitionedModel:
         shard = partial(
             jax.shard_map, mesh=self.mesh,
             in_specs=self._specs(data, 2),
-            out_specs=(P("data"), P("data"), P()))
+            out_specs=(P("data"), P("data"), P()),
+            check_vma=self.mode == "psum")
         return shard(fn)(params, data, t_pos, t_valid)

@@ -22,20 +22,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _ACTIVE: Optional[Mesh] = None
 
-# (axis_name, axis_size) while tracing inside a manual shard_map region whose
-# rel_spmm calls partition their edges over that mesh axis (SURVEY §2.8 north
-# star). GSPMD sharding constraints are illegal inside shard_map, so
-# constrain/shard_entity become no-ops under it.
+# (axis_name, axis_size, mode) while tracing inside a manual shard_map region
+# whose rel_spmm calls partition their edges over that mesh axis (SURVEY §2.8
+# north star). mode selects the exchange algorithm: "psum" (full-partial
+# all-reduce), "ring" (row-sharded states rotating over ICI), or
+# "ring_pallas" (explicit-DMA ring kernel). GSPMD sharding constraints are
+# illegal inside shard_map, so constrain/shard_entity become no-ops under it.
 _MANUAL: Optional[tuple] = None
 
 
 @contextlib.contextmanager
-def manual_partition(axis: str, size: int):
+def manual_partition(axis: str, size: int, mode: str = "psum"):
     """Mark the enclosed trace as running inside a shard_map whose rel_spmm
     edges are partitioned over mesh axis `axis` (of static size `size`)."""
     global _MANUAL
     prev = _MANUAL
-    _MANUAL = (axis, size)
+    _MANUAL = (axis, size, mode)
     try:
         yield
     finally:

@@ -64,7 +64,8 @@ class Trainer:
         if (mesh is not None and cfg.edge_partition
                 and mesh.shape.get("model", 1) > 1):
             from temp_tpu.parallel.edge_partition import EdgePartitionedModel
-            self.model = model = EdgePartitionedModel(model, mesh)
+            self.model = model = EdgePartitionedModel(
+                model, mesh, mode=cfg.edge_partition_mode)
         if mesh is not None:
             from temp_tpu.parallel.mesh import replicated
             self.data = jax.device_put(data, replicated(mesh))
@@ -240,6 +241,14 @@ class Trainer:
             except (ValueError, OSError):
                 pass  # not in main thread / unsupported signal
 
+        tb = None
+        if self._is_primary():
+            # TensorBoard-compatible scalar curves next to metrics.jsonl
+            # (reference TestTube logger, utils/utils.py:58-65):
+            # `tensorboard --logdir experiments/` shows loss/MRR per epoch
+            from temp_tpu.utils.tbevents import EventWriter
+            tb = EventWriter(os.path.join(self.run_dir, "tb"))
+
         preempted = False
         epoch = start_epoch - 1
         try:
@@ -276,6 +285,15 @@ class Trainer:
             if self._is_primary():
                 with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
                     f.write(json.dumps(rec) + "\n")
+                if tb is not None:
+                    tb.add_scalars(epoch, {
+                        "train/loss": rec["train_loss"],
+                        "val/mrr": val["mrr"], "val/hit_1": val["hit_1"],
+                        "val/hit_3": val["hit_3"], "val/hit_10": val["hit_10"],
+                        "val/loss": val.get("loss", float("nan")),
+                        "time/train_s": train_time,
+                        "time/eval_s": rec["eval_s"],
+                    })
             log_fn(f"epoch {epoch}: loss={rec['train_loss']:.4f} "
                    f"val_mrr={val['mrr']:.4f} h1={val['hit_1']:.4f} "
                    f"h3={val['hit_3']:.4f} h10={val['hit_10']:.4f} "

@@ -29,12 +29,44 @@ def describe(x):
             "max": float(x.max())}
 
 
+def _figures(out_dir, dataset, split, times, counts, n_active, density, degs):
+    """Reference dataset_sparsity.py emitted matplotlib figures; same
+    surface: per-time edge/entity counts, snapshot density, degree hist."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    axes[0, 0].plot(times, counts, lw=0.8)
+    axes[0, 0].set_title(f"{dataset}/{split}: edges per timestamp")
+    axes[0, 1].plot(times, n_active, lw=0.8, color="tab:orange")
+    axes[0, 1].set_title("active entities per timestamp")
+    axes[1, 0].semilogy(times, density, lw=0.8, color="tab:green")
+    axes[1, 0].set_title("snapshot density |E_t| / |V_t|^2")
+    axes[1, 1].hist(degs, bins=50, log=True, color="tab:red")
+    axes[1, 1].set_title("in-degree distribution")
+    for ax in axes.flat:
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    path = os.path.join(out_dir, f"{dataset}_{split}_stats.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="icews14")
     ap.add_argument("--dataset-dir", default="interpolation")
     ap.add_argument("--data-root", default="/root/reference")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--figures", default=None, metavar="DIR",
+                    help="write matplotlib figures (per-time edge/entity "
+                    "counts, degree distribution, sparsity) to DIR — the "
+                    "reference dataset_sparsity.py plot surface")
     args = ap.parse_args()
 
     cfg = TKGConfig(dataset=args.dataset, dataset_dir=args.dataset_dir,
@@ -58,6 +90,9 @@ def main():
         n_active = [len(ents_per_t[t]) for t in times]
         density = [per_t_edges[t] / max(1, len(ents_per_t[t])) ** 2 for t in times]
         triple_rep = Counter(map(tuple, q[:, :3].tolist()))
+        if args.figures:
+            _figures(args.figures, args.dataset, split, times, counts,
+                     n_active, density, list(deg.values()))
         splits[split] = {
             "quads": int(len(q)),
             "timestamps": int(len(times)),

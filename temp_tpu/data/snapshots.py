@@ -103,6 +103,66 @@ class TKGData:
         return 2 * self.num_rels
 
 
+@struct.dataclass
+class HistoryTables:
+    """Precomputed last-active gather indices for the compact history scan.
+
+    The recurrent models' history semantics (reference DynamicRGCN.py:47-54:
+    'hist[e] = encoder output at e's most recent active snapshot') used to be
+    realized by scattering into dense [N, d] carries every scan step — O(N*d)
+    HBM traffic per step for O(A*d) real updates, which the round-3 XProf
+    trace showed was ~70% of the epoch. These tables replace the dense
+    carries: the scan keeps only the per-step compact outputs [L-1, A, d] and
+    every read of 'entity e's previous state' becomes a static gather
+    (step, row) resolved here at data-build time, since activity is a
+    property of the dataset, not of the computation.
+
+    All index arrays are window-relative for window length L ending at target
+    position t (forward) or starting at t (backward window, reversed — the
+    same convention as models/dynamic.gather_window).
+    """
+
+    prev_step: Any  # [T, L-1, A] int16: last step < k where this slot's
+    #                 entity was active (window-valid), or -1
+    prev_row: Any   # [T, L-1, A] int16: its slot within that step's act row
+    fin_step: Any   # [T, N] int16: last active step in 0..L-2, or -1
+    fin_row: Any    # [T, N] int16
+
+
+def build_history_tables(data: TKGData, length: int,
+                         backward: bool = False) -> HistoryTables:
+    """Host-side construction (numpy); see HistoryTables."""
+    act_idx = np.asarray(data.act_idx)
+    act_mask = np.asarray(data.act_mask)
+    T, A = act_idx.shape
+    N = data.num_ents
+    L1 = length - 1
+    prev_step = np.full((T, L1, A), -1, np.int16)
+    prev_row = np.zeros((T, L1, A), np.int16)
+    fin_step = np.full((T, N), -1, np.int16)
+    fin_row = np.zeros((T, N), np.int16)
+    rows_arange = np.arange(A, dtype=np.int16)
+
+    for t in range(T):
+        last_step = np.full(N + 1, -1, np.int16)  # +1: padding id == num_ents
+        last_row = np.zeros(N + 1, np.int16)
+        for k in range(L1):
+            wpos = (t + L1 - k) if backward else (t - L1 + k)
+            valid = (wpos <= T - 1) if backward else (wpos >= 0)
+            safe = min(max(wpos, 0), T - 1)
+            ids = act_idx[safe]
+            mask = act_mask[safe] & valid
+            prev_step[t, k] = last_step[ids]
+            prev_row[t, k] = last_row[ids]
+            upd = ids[mask]
+            last_step[upd] = k
+            last_row[upd] = rows_arange[mask]
+        fin_step[t] = last_step[:N]
+        fin_row[t] = last_row[:N]
+    return HistoryTables(prev_step=prev_step, prev_row=prev_row,
+                         fin_step=fin_step, fin_row=fin_row)
+
+
 def _time_pos_lut(times: np.ndarray) -> np.ndarray:
     """raw time value -> position lookup (times are sorted unique ints >= 0)."""
     size = int(times.max()) + 1 if len(times) else 1

@@ -37,9 +37,11 @@ class BiDynamicRGCNModel(DynamicRGCNModel):
         rates_f = self.drop_past[t_pos] if self.drop_past is not None else None
         rates_b = self.drop_future[t_pos] if self.drop_future is not None else None
         h1f, h2f, lp_f = self.pre_forward(params, win_f, length, train, k_f,
-                                          direction="fwd", drop_rates=rates_f)
+                                          t_pos, direction="fwd",
+                                          drop_rates=rates_f)
         h1b, h2b, lp_b = self.pre_forward(params, win_b, length, train, k_b,
-                                          direction="bwd", drop_rates=rates_b)
+                                          t_pos, direction="bwd",
+                                          drop_rates=rates_b)
 
         emask = win_f.emask[length - 1]
         if train:

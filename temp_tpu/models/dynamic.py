@@ -87,6 +87,15 @@ class DynamicRGCNModel:
         # (reference models/DynamicRGCN.py:18: test_seq_len = train_seq_len)
         self.eval_len = cfg.train_seq_len
         self.score_all, self.score_single = get_score_fn(cfg.score_function)
+        # last-active gather tables for the compact history scan (see
+        # pre_forward); eval uses the same window length as training
+        # (reference models/DynamicRGCN.py:18), so one table set per direction
+        from temp_tpu.data.snapshots import build_history_tables
+        self.tbl_fwd = jax.device_put(
+            build_history_tables(data, self.train_len))
+        self.tbl_bwd = (jax.device_put(
+            build_history_tables(data, self.train_len, backward=True))
+            if cfg.module.startswith("Bi") else None)
         self.drop_past = self.drop_future = None
         if cfg.edge_dropout:
             # frequency-driven DropEdge (DynamicRGCN.py:25-27, utils/DropEdge.py)
@@ -126,31 +135,70 @@ class DynamicRGCNModel:
             h0, snap, hist1, hist2, dt, train, rng, direction=direction,
         )
 
+    def _window_xs(self, win: WindowSlice, length: int, train: bool, rng,
+                   drop_rates):
+        cfg = self.cfg
+        L1 = length - 1
+        use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
+        rates = (drop_rates[:L1] if use_drop_edge
+                 else jnp.zeros((L1, win.emask.shape[1]), jnp.float32))
+        return (
+            jnp.arange(L1, dtype=jnp.int32),
+            {
+                "src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
+                "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
+                "valid": win.valid[:L1], "active": win.active[:L1],
+                "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
+                "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1],
+            },
+            jax.random.split(rng, L1),
+            rates,
+        )
+
+    def _tables_for(self, direction):
+        return self.tbl_bwd if direction == "bwd" else self.tbl_fwd
+
     def pre_forward(self, params, win: WindowSlice, length: int,
-                    train: bool, rng, direction=None, drop_rates=None):
+                    train: bool, rng, t_pos, direction=None, drop_rates=None,
+                    with_loc: bool = False):
         """Scan the first length-1 window snapshots, accumulating history
         (reference pre_forward, DynamicRGCN.py:156-174).
 
-        Each step computes ONLY the snapshot's compact active set (the TPU
-        equivalent of the reference's per-graph node compaction): gather the
-        active rows of the dense history, run the encoder on [A, d], scatter
-        the updates back. Inactive entities never update history — identical
-        semantics, ~N/A_t times less matmul work per step.
+        Compact-stream formulation (round-3 perf rework): the scan carries
+        only the per-step encoder outputs [L-1, A, d]; every read of 'entity
+        e's state at its last active step' is a static gather resolved by the
+        precomputed HistoryTables (data/snapshots.build_history_tables),
+        because activity is a dataset property. The dense [N, d] history
+        tables the rest of the model consumes are materialized ONCE at the
+        end with a single last-active gather. Semantics are identical to the
+        reference's dense scatter accumulation (DynamicRGCN.py:47-54) — the
+        dense-carry version moved O(N*d) HBM bytes per step for O(A*d) real
+        updates and was ~70% of the fused epoch (results/round3/trace).
+
+        Returns (hist1, hist2[, hist_loc], last_pos), all dense.
         """
-        from temp_tpu.parallel.mesh import shard_entity, vary_batch
+        from temp_tpu.parallel.mesh import shard_entity
 
         cfg = self.cfg
-        N, d = self.num_ents, cfg.embed_size
-        hist1 = shard_entity(vary_batch(jnp.zeros((N, d))))
-        hist2 = shard_entity(vary_batch(jnp.zeros((N, d))))
-        last_pos = shard_entity(vary_batch(jnp.zeros((N,), jnp.float32)))
+        d = cfg.embed_size
+        L1 = length - 1
+        A = win.act_idx.shape[1]
+        if L1 == 0:  # no history window (train_seq_len == 1)
+            N = self.num_ents
+            zero = jnp.zeros((N, d))
+            outs = (zero,) * (3 if with_loc else 2)
+            return outs + (jnp.zeros((N,), jnp.float32),)
+        tbl = self._tables_for(direction)
+        prev_step = tbl.prev_step[t_pos]   # [L1, A] int16
+        prev_row = tbl.prev_row[t_pos]
 
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
         use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
+        n_buf = 3 if with_loc else 2
 
         def step(carry, xs):
-            hist1, hist2, last_pos = carry
-            pos, sa, step_key, rate_row = xs
+            bufs = carry
+            pos, sa, step_key, rate_row, pstep, prow, h0 = xs
             emask = sa["emask"]
             if use_dropout:
                 k_drop, step_key = jax.random.split(step_key)
@@ -165,41 +213,54 @@ class DynamicRGCNModel:
                 emask=emask, t_idx=sa["t_idx"], valid=sa["valid"],
                 active=a_mask,
             )
-            dt = pos.astype(jnp.float32) - last_pos[a_idx]
-            h0 = self.input_embeddings_rows(params, snap.t_idx, a_idx)
-            out1, out2, _ = self._encoder_step(
-                params, h0, snap, hist1[a_idx], hist2[a_idx], dt, train,
+            has_prev = pstep >= 0
+            gidx = (jnp.maximum(pstep, 0).astype(jnp.int32) * A
+                    + prow.astype(jnp.int32))
+            live = has_prev[:, None].astype(bufs[0].dtype)
+            h1 = bufs[0].reshape(L1 * A, d)[gidx] * live
+            h2 = bufs[1].reshape(L1 * A, d)[gidx] * live
+            dt = (pos - jnp.maximum(pstep, 0)).astype(jnp.float32)
+            out1, out2, local2 = self._encoder_step(
+                params, h0, snap, h1, h2, dt, train,
                 step_key, direction=direction)
-            upd = (a_mask & sa["valid"])[:, None]
-            hist1 = hist1.at[a_idx].set(
-                jnp.where(upd, out1, hist1[a_idx]), mode="drop")
-            hist2 = hist2.at[a_idx].set(
-                jnp.where(upd, out2, hist2[a_idx]), mode="drop")
-            last_pos = last_pos.at[a_idx].set(
-                jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
-                mode="drop")
-            # keep the dense history row-sharded across scan steps (the
-            # compact [A, d] gather/scatter above all-gathers only A rows)
-            return (shard_entity(hist1), shard_entity(hist2),
-                    shard_entity(last_pos)), None
+            outs = (out1, out2, local2)[:n_buf]
+            bufs = tuple(b.at[pos].set(o.astype(b.dtype))
+                         for b, o in zip(bufs, outs))
+            return bufs, None
 
-        L1 = length - 1
-        rates = (drop_rates[:L1] if use_drop_edge
-                 else jnp.zeros((L1, win.emask.shape[1]), jnp.float32))
-        xs = (
-            jnp.arange(L1, dtype=jnp.int32),
-            {
-                "src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
-                "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
-                "valid": win.valid[:L1], "active": win.active[:L1],
-                "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
-                "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1],
-            },
-            jax.random.split(rng, L1),
-            rates,
-        )
-        (hist1, hist2, last_pos), _ = jax.lax.scan(step, (hist1, hist2, last_pos), xs)
-        return hist1, hist2, last_pos
+        from temp_tpu.parallel.mesh import vary_carry
+        # history states live in the hot dtype (bf16 on TPU): they only feed
+        # decay multiplies and the (already bf16) GRU/attention matmuls, and
+        # the buffers/densified tables are the largest recurring HBM traffic
+        # of the epoch (results/round3/trace2). f32 on CPU keeps the
+        # full-precision oracles exact.
+        bdt = cfg.hot_dtype or jnp.float32
+        bufs0 = tuple(vary_carry(jnp.zeros((L1, A, d), bdt))
+                      for _ in range(n_buf))
+        pos_xs, sa_xs, key_xs, rate_xs = self._window_xs(
+            win, length, train, rng, drop_rates)
+        # input-feature gather hoisted out of the scan: as an xs input its
+        # cotangent is stacked per step (O(A*d)) and scattered into
+        # d(ent_embeds) ONCE, instead of an O(N*d) scatter-add per scan step
+        # in the transposed loop (round-3 trace: that scatter was ~35% of the
+        # epoch)
+        h0_xs = self.input_embeddings_rows(
+            params, win.t_idx[:L1], win.act_idx[:L1])
+        bufs, _ = jax.lax.scan(
+            step, bufs0,
+            (pos_xs, sa_xs, key_xs, rate_xs, prev_step, prev_row, h0_xs))
+
+        # densify once: hist[e] = output at e's last active step, else 0
+        fin_step = tbl.fin_step[t_pos]  # [N] int16
+        fin_row = tbl.fin_row[t_pos]
+        has = (fin_step >= 0)[:, None]
+        fidx = (jnp.maximum(fin_step, 0).astype(jnp.int32) * A
+                + fin_row.astype(jnp.int32))
+        dense = tuple(
+            shard_entity(b.reshape(L1 * A, d)[fidx] * has.astype(b.dtype))
+            for b in bufs)
+        last_pos = jnp.maximum(fin_step, 0).astype(jnp.float32)
+        return dense + (shard_entity(last_pos),)
 
     def input_embeddings_rows(self, params, t_idx, rows):
         """Gathered input features for the compact active set."""
@@ -212,7 +273,8 @@ class DynamicRGCNModel:
         win = gather_window(data, t_pos, length)
         k_pre, k_fin, k_sub = jax.random.split(rng, 3)
         rates = self.drop_past[t_pos] if self.drop_past is not None else None
-        hist1, hist2, last_pos = self.pre_forward(params, win, length, train, k_pre,
+        hist1, hist2, last_pos = self.pre_forward(params, win, length, train,
+                                                  k_pre, t_pos,
                                                   drop_rates=rates)
 
         emask = win.emask[length - 1]

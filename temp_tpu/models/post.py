@@ -108,68 +108,14 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
     # -- forward with loc history ------------------------------------------
 
     def pre_forward_loc(self, params, win: WindowSlice, length: int,
-                        train: bool, rng, direction=None, drop_rates=None):
+                        train: bool, rng, t_pos, direction=None,
+                        drop_rates=None):
         """pre_forward carrying the extra local-embedding history
-        (ImputeDynamicRGCN.pre_forward, PostDynamicRGCN.py:60-79)."""
-        from temp_tpu.parallel.mesh import shard_entity, vary_batch
-
-        cfg = self.cfg
-        N, d = self.num_ents, cfg.embed_size
-        ent = params["ent_embeds"]
-        carry0 = jax.tree_util.tree_map(
-            lambda z: shard_entity(vary_batch(z)),
-            (jnp.zeros((N, d)), jnp.zeros((N, d)), jnp.zeros((N, d)),
-             jnp.zeros((N,), jnp.float32)))
-        use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
-        use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
-
-        def step(carry, xs):
-            hist1, hist2, hist_loc, last_pos = carry
-            pos, sa, step_key, rate_row = xs
-            emask = sa["emask"]
-            if use_dropout:
-                k_drop, step_key = jax.random.split(step_key)
-                emask = subsample_edges(k_drop, emask, 0.8)
-            if use_drop_edge:
-                k_drop, step_key = jax.random.split(step_key)
-                emask = emask & (jax.random.uniform(k_drop, emask.shape) >= rate_row)
-            a_idx, a_mask = sa["act_idx"], sa["act_mask"]
-            snap = Snapshot(src=sa["src_loc"], dst=sa["dst_loc"], rel=sa["rel"],
-                            emask=emask, t_idx=sa["t_idx"], valid=sa["valid"],
-                            active=a_mask)
-            dt = pos.astype(jnp.float32) - last_pos[a_idx]
-            out1, out2, local2 = encoder_forward(
-                params["encoder"], cfg, self.lc1, self.lc2,
-                ent[a_idx], snap, hist1[a_idx], hist2[a_idx], dt, train,
-                step_key, direction=direction)
-            upd = (a_mask & sa["valid"])[:, None]
-            return jax.tree_util.tree_map(shard_entity, (
-                hist1.at[a_idx].set(jnp.where(upd, out1, hist1[a_idx]),
-                                    mode="drop"),
-                hist2.at[a_idx].set(jnp.where(upd, out2, hist2[a_idx]),
-                                    mode="drop"),
-                hist_loc.at[a_idx].set(jnp.where(upd, local2, hist_loc[a_idx]),
-                                       mode="drop"),
-                last_pos.at[a_idx].set(
-                    jnp.where(upd[:, 0], pos.astype(jnp.float32), last_pos[a_idx]),
-                    mode="drop"),
-            )), None
-
-        L1 = length - 1
-        rates = (drop_rates[:L1] if use_drop_edge
-                 else jnp.zeros((L1, win.emask.shape[1]), jnp.float32))
-        xs = (
-            jnp.arange(L1, dtype=jnp.int32),
-            {"src": win.src[:L1], "dst": win.dst[:L1], "rel": win.rel[:L1],
-             "emask": win.emask[:L1], "t_idx": win.t_idx[:L1],
-             "valid": win.valid[:L1], "active": win.active[:L1],
-             "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
-             "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1]},
-            jax.random.split(rng, L1),
-            rates,
-        )
-        (h1, h2, hloc, lp), _ = jax.lax.scan(step, carry0, xs)
-        return h1, h2, hloc, lp
+        (ImputeDynamicRGCN.pre_forward, PostDynamicRGCN.py:60-79) — the
+        compact-scan pre_forward with the third (loc) output stream."""
+        return self.pre_forward(params, win, length, train, rng, t_pos,
+                                direction=direction, drop_rates=drop_rates,
+                                with_loc=True)
 
     def _final_tables(self, params, snap: Snapshot, h1, h2, hloc, dt,
                       train: bool, rng):
@@ -231,7 +177,7 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
         k_pre, k_fin, k_sub = jax.random.split(rng, 3)
         rates = self.drop_past[t_pos] if self.drop_past is not None else None
         h1, h2, hloc, lp = self.pre_forward_loc(params, win, length, train,
-                                                k_pre, drop_rates=rates)
+                                                k_pre, t_pos, drop_rates=rates)
         emask = win.emask[length - 1]
         if train:
             emask = subsample_edges(k_sub, emask, 0.5)
@@ -448,9 +394,11 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
         rates_f = self.drop_past[t_pos] if self.drop_past is not None else None
         rates_b = self.drop_future[t_pos] if self.drop_future is not None else None
         h1f, h2f, hlocf, lpf = self.pre_forward_loc(
-            params, win_f, length, train, k_f, direction="fwd", drop_rates=rates_f)
+            params, win_f, length, train, k_f, t_pos, direction="fwd",
+            drop_rates=rates_f)
         h1b, h2b, hlocb, lpb = self.pre_forward_loc(
-            params, win_b, length, train, k_b, direction="bwd", drop_rates=rates_b)
+            params, win_b, length, train, k_b, t_pos, direction="bwd",
+            drop_rates=rates_b)
         emask = win_f.emask[length - 1]
         if train:
             emask = subsample_edges(k_sub, emask, 0.5)

@@ -45,8 +45,11 @@ class TimeDynamicRGCNModel(DynamicRGCNModel):
         return static * jnp.concatenate([ones, temp], axis=-1)
 
     def input_embeddings_rows(self, params, t_idx, rows):
+        # shape-polymorphic: rows [A] with scalar t_idx (per-step call) or
+        # rows [L1, A] with t_idx [L1] (hoisted whole-window gather)
         static = params["ent_embeds"][rows]
-        t = t_idx.astype(static.dtype)
+        t = jnp.asarray(t_idx).astype(static.dtype)
+        t = t.reshape(t.shape + (1,) * (static.ndim - t.ndim))
         temp = jnp.sin(t * params["w_temp"][rows] + params["b_temp"][rows])
-        ones = jnp.ones((rows.shape[0], self.static_size), static.dtype)
+        ones = jnp.ones(rows.shape + (self.static_size,), static.dtype)
         return static * jnp.concatenate([ones, temp], axis=-1)

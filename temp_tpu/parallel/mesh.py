@@ -59,6 +59,20 @@ def vary_batch(x):
         lambda a: jax.lax.pcast(a, ("data",), to="varying"), x)
 
 
+def vary_carry(x):
+    """vary_batch, plus the manual model axis in ring modes: the ring SpMM's
+    all_gather types its outputs as varying over the model axis (values ARE
+    replicated; see EdgePartitionedModel check_vma note), so scan carries fed
+    from encoder outputs must carry the same vma."""
+    if _MANUAL is None or not hasattr(jax.lax, "pcast"):
+        return x
+    axes = ("data",)
+    if _MANUAL[2] in ("ring", "ring_pallas"):
+        axes = ("data", _MANUAL[0])
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.pcast(a, axes, to="varying"), x)
+
+
 def make_mesh(dp: int, mp: int = 1, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     assert devices.size >= dp * mp, (devices.size, dp, mp)

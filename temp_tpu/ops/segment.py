@@ -226,7 +226,10 @@ def _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases, d_out,
     deg = segment_sum(em_l.astype(jnp.float32), dst_loc, rows)
     norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
 
-    if pallas and n_bases == d_in == d_out:
+    s = d_in // n_bases if d_in % n_bases == 0 else 0
+    if pallas and d_in == d_out and 1 <= s <= 8:
+        # diagonal (s=1) or block-diagonal (s>1, shift-packed lane rolls —
+        # parallel/ring_pallas._pack_block_weight) explicit-DMA ring kernel
         from temp_tpu.parallel.ring_pallas import _ring_spmm
         dtype_str = None if dtype is None else jnp.dtype(dtype).name
         Rp = -(-weight.shape[0] // 128) * 128
@@ -239,7 +242,7 @@ def _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases, d_out,
             dst_loc.astype(jnp.int32).reshape(-1, 1),
             rel_l.astype(jnp.int32).reshape(-1, 1),
             em_l.astype(jnp.float32).reshape(-1, 1),
-            m, rows, axis, dtype_str, interpret).astype(h.dtype)
+            m, rows, axis, dtype_str, interpret, s).astype(h.dtype)
     else:
         edge_scale = (norm[dst_loc] * em_l.astype(h.dtype))[:, None]
 

@@ -44,9 +44,11 @@ ops + one `psum_scatter` (src-side gradient routing is a reduce-scatter over
 the same ring); the replicated relation-weight gradient is psum'ed by
 shard_map's own transpose. The backward collectives ride the same ICI axis.
 
-Supported weight layout: diagonal relations (n_bases == d), the canonical
-grid configuration (n_bases = d = 128) — same restriction as the single-chip
-Pallas kernel. Tested against the segment-sum path on the 8-virtual-device
+Supported weight layouts: diagonal relations (n_bases == d, the canonical
+grid configuration) and block-diagonal n_bases < d with blocks up to 8x8 —
+the per-edge block multiply lowers to 2s-1 lane-rolled diagonal multiplies
+against a shift-packed weight layout (_pack_block_weight), avoiding strided
+lane access. Tested against the segment-sum path on the 8-virtual-device
 CPU mesh via the Mosaic TPU *interpreter* (`pltpu.InterpretParams`), which
 emulates inter-device DMAs and semaphores faithfully (tests/test_ring_pallas.py).
 """
@@ -69,10 +71,36 @@ from temp_tpu.ops.pallas_spmm import (_TILE, _cdt, _dot, _dot_c0, _onehot,
 _COLLECTIVE_ID = 11
 
 
+def _pack_block_weight(w: jnp.ndarray, n_bases: int, d: int) -> jnp.ndarray:
+    """[R, n_bases*s*s] block-diagonal weights -> [R, (2s-1)*d] shift-packed
+    layout: slot (delta+s-1)*d + (b*s+o) holds W[b, o-delta, o] (0 when
+    o-delta leaves the block). With this packing the per-edge block-diag
+    multiply becomes 2s-1 lane-rolled DIAGONAL multiplies inside the kernel:
+
+        out = sum_delta roll(h, delta, lanes) * w_packed[:, delta-slab]
+
+    because roll(h, delta)[b*s+o] = h[b*s+(o-delta)] and every cross-block or
+    cross-tile wraparound lane is zeroed by the packing. This lifts the
+    kernel's diagonal-only restriction (n_bases == d) to any n_bases
+    dividing d without strided lane access (Mosaic-hostile) or per-edge
+    small matmuls."""
+    s = d // n_bases
+    R = w.shape[0]
+    w4 = w.reshape(R, n_bases, s, s)
+    o = jnp.arange(s)
+    slabs = []
+    for delta in range(-(s - 1), s):
+        i = o - delta
+        ok = (i >= 0) & (i < s)
+        vals = w4[:, :, jnp.clip(i, 0, s - 1), o] * ok  # [R, nb, s]
+        slabs.append(vals.reshape(R, d))
+    return jnp.concatenate(slabs, axis=1)
+
+
 def _ring_kernel(src_ref, dstl_ref, rel_ref, em_ref, h_ref, w_ref,
                  raw_ref, deg_ref, hsrc_ref, wsel_ref,
                  comm_ref, msg_ref, send_sem, recv_sem,
-                 *, m: int, rows: int, axis: str, dtype_str):
+                 *, m: int, rows: int, axis: str, dtype_str, s: int = 1):
     rowsp, d = h_ref.shape
     Rp = w_ref.shape[0]
     cdt = _cdt(dtype_str)
@@ -145,7 +173,21 @@ def _ring_kernel(src_ref, dstl_ref, rel_ref, em_ref, h_ref, w_ref,
     jax.lax.fori_loop(0, rowsp // _TILE, gather_h, 0)
 
     hsrc_ref[...] += msg_ref[...]  # residual for the backward pass
-    msg_ref[...] = msg_ref[...] * wsel_ref[...]
+    if s == 1:
+        msg_ref[...] = msg_ref[...] * wsel_ref[...]
+    else:
+        # block-diagonal relations: sum of 2s-1 lane-rolled diagonal
+        # multiplies against the shift-packed weight slabs (_pack_block_weight)
+        d = msg_ref.shape[1]
+        h = msg_ref[...]
+        acc = h * wsel_ref[:, pl.ds((s - 1) * d, d)]
+        for delta in range(1, s):
+            acc += (pltpu.roll(h, delta, 1)
+                    * wsel_ref[:, pl.ds((delta + s - 1) * d, d)])
+            # pltpu.roll requires non-negative shifts: -delta == d - delta
+            acc += (pltpu.roll(h, d - delta, 1)
+                    * wsel_ref[:, pl.ds((s - 1 - delta) * d, d)])
+        msg_ref[...] = acc
 
     def scatter(t, _):
         ohm = _onehot(dstl_ref[...], t * _TILE, jnp.float32) * em_ref[...]
@@ -171,20 +213,22 @@ def _interp(interpret):
 
 
 def _ring_fwd_call(h_loc, w, src, dstl, rel, emf, *, m, rows, axis,
-                   dtype_str, interpret):
+                   dtype_str, interpret, s=1):
     rowsp, d = h_loc.shape
     E1 = src.shape[0]
     nt = rowsp // _TILE
     cdt = _cdt(dtype_str)
+    if s > 1:
+        w = _pack_block_weight(w, d // s, d)  # [Rp, (2s-1)*d]
     raw, deg2d, hsrc, wsel = pl.pallas_call(
         functools.partial(_ring_kernel, m=m, rows=rows, axis=axis,
-                          dtype_str=dtype_str),
+                          dtype_str=dtype_str, s=s),
         grid=(m,),
         out_shape=(
             jax.ShapeDtypeStruct((rowsp, d), jnp.float32),
             jax.ShapeDtypeStruct((nt, _TILE), jnp.float32),
             jax.ShapeDtypeStruct((E1, d), jnp.float32),
-            jax.ShapeDtypeStruct((E1, d), jnp.float32),
+            jax.ShapeDtypeStruct((E1, (2 * s - 1) * d), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
@@ -206,37 +250,51 @@ def _ring_fwd_call(h_loc, w, src, dstl, rel, emf, *, m, rows, axis,
     return raw * n2, hsrc, wsel, n2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _ring_spmm(h_loc, w, src, dstl, rel, emf, m, rows, axis, dtype_str,
-               interpret):
+               interpret, s=1):
     out, _, _, _ = _ring_fwd_call(h_loc, w, src, dstl, rel, emf, m=m,
                                   rows=rows, axis=axis, dtype_str=dtype_str,
-                                  interpret=interpret)
+                                  interpret=interpret, s=s)
     return out
 
 
 def _ring_spmm_fwd(h_loc, w, src, dstl, rel, emf, m, rows, axis, dtype_str,
-                   interpret):
+                   interpret, s=1):
     out, hsrc, wsel, n2 = _ring_fwd_call(
         h_loc, w, src, dstl, rel, emf, m=m, rows=rows, axis=axis,
-        dtype_str=dtype_str, interpret=interpret)
-    return out, (src, dstl, rel, emf, hsrc, wsel, n2, w.shape[0])
+        dtype_str=dtype_str, interpret=interpret, s=s)
+    return out, (src, dstl, rel, emf, hsrc, wsel, n2, w)
 
 
-def _ring_spmm_bwd(m, rows, axis, dtype_str, interpret, res, g):
+def _ring_spmm_bwd(m, rows, axis, dtype_str, interpret, s, res, g):
     """XLA transpose: dst-side terms are local; src-side gradients are routed
     back over the SAME ring axis as one reduce-scatter (psum_scatter)."""
     from temp_tpu.ops.segment import segment_sum
 
-    src, dstl, rel, emf, hsrc, wsel, n2, Rp = res
+    src, dstl, rel, emf, hsrc, wsel, n2, w = res
+    Rp = w.shape[0]
     d = hsrc.shape[1]
     gn2 = (g * n2)
     dmsg = gn2[dstl.reshape(-1)] * emf            # [E1, d]
-    # dw: local-edge contribution only — shard_map's transpose of the
-    # replicated weight input psums cotangents across devices itself
-    dw = segment_sum(dmsg * hsrc, rel.reshape(-1), Rp)
+    if s == 1:
+        # dw: local-edge contribution only — shard_map's transpose of the
+        # replicated weight input psums cotangents across devices itself
+        dw = segment_sum(dmsg * hsrc, rel.reshape(-1), Rp)
+        dh_e = dmsg * wsel
+    else:
+        # block-diagonal transpose: per-edge (s, s) blocks via einsum on the
+        # saved pre-weight gather (hsrc) and the gathered weight blocks
+        nb = d // s
+        w4 = w.reshape(Rp, nb, s, s)[rel.reshape(-1)]   # [E1, nb, s, s]
+        dm = dmsg.reshape(-1, nb, s)
+        hs = hsrc.reshape(-1, nb, s)
+        dw = segment_sum(
+            jnp.einsum("ebi,ebo->ebio", hs, dm).reshape(-1, nb * s * s),
+            rel.reshape(-1), Rp)
+        dh_e = jnp.einsum("ebio,ebo->ebi", w4, dm).reshape(-1, d)
     # dh: every edge contributes to the (possibly remote) src row
-    contrib = segment_sum(dmsg * wsel, src.reshape(-1), m * rows)
+    contrib = segment_sum(dh_e, src.reshape(-1), m * rows)
     dh_loc = jax.lax.psum_scatter(contrib, axis, scatter_dimension=0,
                                   tiled=True)
     rowsp = g.shape[0]
@@ -254,14 +312,18 @@ def ring_rel_spmm_pallas(
     dst: jnp.ndarray,     # [E] GLOBAL dst ids
     rel: jnp.ndarray,
     emask: jnp.ndarray,
-    weight: jnp.ndarray,  # [R2, d] diagonal relation weights, replicated
+    weight: jnp.ndarray,  # [R2, n_bases * s * s] relation weights, replicated
     num_ents: int,
     mesh: Mesh,
     axis: str = "model",
     dtype=None,
     interpret: bool | None = None,
+    n_bases: int | None = None,
 ) -> jnp.ndarray:
-    """Drop-in for `ring_rel_spmm` when n_bases == d (diagonal relations).
+    """Drop-in for `ring_rel_spmm` for diagonal (n_bases == d, the canonical
+    grid configuration) OR block-diagonal relations (any n_bases dividing d
+    with blocks up to 8x8 — the block multiply lowers to 2s-1 lane-rolled
+    diagonal multiplies, see _pack_block_weight).
 
     Caller contract (same as ring_rel_spmm): edges pre-grouped with
     `group_edges_by_dst_owner`, num_ents divisible by the axis size, and the
@@ -276,6 +338,10 @@ def ring_rel_spmm_pallas(
     assert rows % _TILE == 0, "pad num_ents so each shard is 128-aligned"
     E = src.shape[0]
     assert E % m == 0
+    d = h.shape[-1]
+    nb = n_bases if n_bases is not None else d
+    assert d % nb == 0 and d // nb <= 8, (d, nb)
+    s = d // nb
     dtype_str = None if dtype is None else jnp.dtype(dtype).name
     Rp = _round_up(weight.shape[0], _TILE)
     wp = jnp.pad(weight.astype(jnp.float32),
@@ -289,7 +355,7 @@ def ring_rel_spmm_pallas(
             src.astype(jnp.int32).reshape(-1, 1), dstl,
             rel.astype(jnp.int32).reshape(-1, 1),
             emask.astype(jnp.float32).reshape(-1, 1),
-            m, rows, axis, dtype_str, interpret)
+            m, rows, axis, dtype_str, interpret, s)
         return out
 
     shard = functools.partial(

@@ -75,3 +75,44 @@ def test_ring_pallas_isolated_rows_zero():
     dst_np = np.asarray(dst)[np.asarray(emask)]
     isolated = np.setdiff1d(np.arange(N), dst_np)
     assert np.all(out[isolated] == 0.0)
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_ring_pallas_block_diagonal_matches_segment(s):
+    """Block-diagonal relations (n_bases < d): the kernel's shift-packed
+    lane-roll formulation (_pack_block_weight) vs the segment reference."""
+    rng = np.random.RandomState(3 + s)
+    nb = D // s
+    src = rng.randint(0, N, E_RAW).astype(np.int32)
+    dst = rng.randint(0, N, E_RAW).astype(np.int32)
+    rel = rng.randint(0, R2, E_RAW).astype(np.int32)
+    emask = rng.rand(E_RAW) < 0.9
+    src, dst, rel, emask = group_edges_by_dst_owner(src, dst, rel, emask, N, M)
+    src, dst, rel, emask = map(jnp.asarray, (src, dst, rel, emask))
+    h = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    w = jnp.asarray(rng.randn(R2, nb * s * s).astype(np.float32))
+
+    ref = rel_spmm(h, src, dst, rel, emask, w, n_bases=nb, d_out=D,
+                   num_ents=N, method="segment")
+    out = ring_rel_spmm_pallas(h, src, dst, rel, emask, w, N, _mesh(),
+                               n_bases=nb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients through the block transpose
+    cot = jnp.asarray(np.random.RandomState(9).randn(N, D).astype(np.float32))
+
+    def loss_ref(h, w):
+        return jnp.sum(rel_spmm(h, src, dst, rel, emask, w, n_bases=nb,
+                                d_out=D, num_ents=N, method="segment") * cot)
+
+    def loss_ring(h, w):
+        return jnp.sum(ring_rel_spmm_pallas(h, src, dst, rel, emask, w, N,
+                                            _mesh(), n_bases=nb) * cot)
+
+    gh_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(h, w)
+    gh, gw = jax.grad(loss_ring, argnums=(0, 1))(h, w)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)

@@ -240,3 +240,20 @@ def test_icews14_scale_ring_invariance():
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
     np.testing.assert_array_equal(np.asarray(ranks)[np.asarray(mask)],
                                   np.asarray(ranks_ref)[np.asarray(mask_ref)])
+
+
+def test_trainer_integration_ring(setup, tmp_path):
+    """Trainer end to end with edge_partition='ring' on a (2, 4) mesh: one
+    fit epoch + eval through the fused dispatches."""
+    from temp_tpu.train.loop import Trainer
+
+    cfg, data, model, _ = setup
+    cfg = cfg.replace(batch_size=4, dp_size=2, mp_size=4, patience=5)
+    mesh = make_mesh(2, 4)
+    with use_mesh(mesh):
+        trainer = Trainer(cfg, model, data, run_dir=str(tmp_path), mesh=mesh)
+        assert trainer.model.mode == "ring"
+        out = trainer.fit(max_epochs=1, log_fn=lambda *_: None)
+        assert np.isfinite(out["best_mrr"]) and out["best_mrr"] > 0
+        m = trainer.run_eval(out["params"], "valid")
+        assert 0 < m["mrr"] <= 1

@@ -47,6 +47,8 @@ def main():
     cfg = TKGConfig.from_json_file("grid/icews14/config_grrgcn.json")
     if os.environ.get("TEMP_TPU_COMPUTE_DTYPE"):
         cfg.compute_dtype = os.environ["TEMP_TPU_COMPUTE_DTYPE"]
+    if os.environ.get("TEMP_TPU_SCAN_UNROLL"):
+        cfg.scan_unroll = int(os.environ["TEMP_TPU_SCAN_UNROLL"])
     data = build_tkg_data(cfg)
     model = get_model(cfg, data)
     trainer = Trainer(cfg, model, data, run_dir="/tmp/temp_tpu_bench")

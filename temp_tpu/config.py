@@ -94,6 +94,16 @@ class TKGConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "auto"  # auto = bfloat16 on TPU, float32 on CPU
 
+    # -- scheduling ---------------------------------------------------------
+    # Unroll factor for the history-recurrence lax.scan (models/dynamic.py).
+    # The recurrence is latency-bound (docs/PERF.md §3); unrolling lets XLA
+    # software-pipeline step i+1's gathers against step i's compute. A/B:
+    # skeleton full unroll = 1.08x (benchmarks/unroll_ab.py); real fused
+    # epoch on v5e = +5.7% edges/s (1.074M -> 1.135M, results/round3).
+    # 0 = auto: full unroll on TPU, 1 (off) on CPU where the while-loop has
+    # no issue-latency penalty and unrolling only slows compile.
+    scan_unroll: int = 0
+
     # -- run control --------------------------------------------------------
     # reference: utils/args.py:36-39,56-58
     debug: bool = False

@@ -246,9 +246,12 @@ class DynamicRGCNModel:
         # epoch)
         h0_xs = self.input_embeddings_rows(
             params, win.t_idx[:L1], win.act_idx[:L1])
+        unroll = int(cfg.scan_unroll) or (
+            L1 if jax.default_backend() == "tpu" else 1)
         bufs, _ = jax.lax.scan(
             step, bufs0,
-            (pos_xs, sa_xs, key_xs, rate_xs, prev_step, prev_row, h0_xs))
+            (pos_xs, sa_xs, key_xs, rate_xs, prev_step, prev_row, h0_xs),
+            unroll=max(1, unroll))
 
         # densify once: hist[e] = output at e's last active step, else 0
         fin_step = tbl.fin_step[t_pos]  # [N] int16

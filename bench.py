@@ -49,6 +49,8 @@ def main():
         cfg.compute_dtype = os.environ["TEMP_TPU_COMPUTE_DTYPE"]
     if os.environ.get("TEMP_TPU_SCAN_UNROLL"):
         cfg.scan_unroll = int(os.environ["TEMP_TPU_SCAN_UNROLL"])
+    if os.environ.get("TEMP_TPU_FUSED_WINDOW"):
+        cfg.fused_window = bool(int(os.environ["TEMP_TPU_FUSED_WINDOW"]))
     data = build_tkg_data(cfg)
     model = get_model(cfg, data)
     trainer = Trainer(cfg, model, data, run_dir="/tmp/temp_tpu_bench")

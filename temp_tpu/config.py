@@ -103,6 +103,23 @@ class TKGConfig:
     # 0 = auto: full unroll on TPU, 1 (off) on CPU where the while-loop has
     # no issue-latency penalty and unrolling only slows compile.
     scan_unroll: int = 0
+    # Whole-window fused Pallas kernel for the GRRGCN history recurrence
+    # (ops/fused_window.py): the entire L1-step scan runs VMEM-resident in
+    # one dispatch, eliminating the per-step issue/DMA latency floor
+    # (docs/PERF.md). "auto" = on for TPU when the config is in the kernel's
+    # support envelope (diagonal relations, standard GRU, no time embedding),
+    # off on CPU (tests exercise it explicitly via interpret mode).
+    fused_window: object = "auto"
+
+    @property
+    def fused_window_on(self) -> bool:
+        if isinstance(self.fused_window, str):
+            s = self.fused_window.lower()
+            if s == "auto":
+                import jax
+                return jax.default_backend() == "tpu"
+            return s in ("1", "true", "yes", "on")
+        return bool(self.fused_window)
 
     # -- run control --------------------------------------------------------
     # reference: utils/args.py:36-39,56-58

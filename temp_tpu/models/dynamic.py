@@ -196,6 +196,33 @@ class DynamicRGCNModel:
         use_drop_edge = train and cfg.edge_dropout and drop_rates is not None
         n_buf = 3 if with_loc else 2
 
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.ops.fused_window import (
+            fused_window_scan, fused_window_supported,
+        )
+        from temp_tpu.parallel.mesh import manual_axis
+        if (cfg.fused_window_on and manual_axis() is None
+                and fused_window_supported(
+                    cfg, _base_module(cfg.module), n_buf, use_dropout,
+                    use_drop_edge)):
+            # Whole-window Pallas megakernel: the entire L1-step recurrence
+            # (both RGCN layers + GRUs + decay + dropout) runs VMEM-resident
+            # in one dispatch (ops/fused_window.py). Semantically identical
+            # to the scan below (tests/test_fused_window.py).
+            pos = jnp.arange(L1, dtype=jnp.int32)[:, None]
+            livem = prev_step >= 0
+            dt_tab = pos.astype(jnp.float32) - jnp.maximum(
+                prev_step, 0).astype(jnp.float32)
+            h0_xs = self.input_embeddings_rows(
+                params, win.t_idx[:L1], win.act_idx[:L1])
+            bufs = fused_window_scan(
+                params["encoder"], cfg, self.lc2, h0_xs,
+                win.src_loc[:L1], win.dst_loc[:L1], win.rel[:L1],
+                win.emask[:L1], prev_step, prev_row, dt_tab, livem,
+                rng, train, n_buf, direction=direction)
+        else:
+            bufs = None
+
         def step(carry, xs):
             bufs = carry
             pos, sa, step_key, rate_row, pstep, prow, h0 = xs
@@ -228,30 +255,31 @@ class DynamicRGCNModel:
                          for b, o in zip(bufs, outs))
             return bufs, None
 
-        from temp_tpu.parallel.mesh import vary_carry
-        # history states live in the hot dtype (bf16 on TPU): they only feed
-        # decay multiplies and the (already bf16) GRU/attention matmuls, and
-        # the buffers/densified tables are the largest recurring HBM traffic
-        # of the epoch (results/round3/trace2). f32 on CPU keeps the
-        # full-precision oracles exact.
-        bdt = cfg.hot_dtype or jnp.float32
-        bufs0 = tuple(vary_carry(jnp.zeros((L1, A, d), bdt))
-                      for _ in range(n_buf))
-        pos_xs, sa_xs, key_xs, rate_xs = self._window_xs(
-            win, length, train, rng, drop_rates)
-        # input-feature gather hoisted out of the scan: as an xs input its
-        # cotangent is stacked per step (O(A*d)) and scattered into
-        # d(ent_embeds) ONCE, instead of an O(N*d) scatter-add per scan step
-        # in the transposed loop (round-3 trace: that scatter was ~35% of the
-        # epoch)
-        h0_xs = self.input_embeddings_rows(
-            params, win.t_idx[:L1], win.act_idx[:L1])
-        unroll = int(cfg.scan_unroll) or (
-            L1 if jax.default_backend() == "tpu" else 1)
-        bufs, _ = jax.lax.scan(
-            step, bufs0,
-            (pos_xs, sa_xs, key_xs, rate_xs, prev_step, prev_row, h0_xs),
-            unroll=max(1, unroll))
+        if bufs is None:
+            from temp_tpu.parallel.mesh import vary_carry
+            # history states live in the hot dtype (bf16 on TPU): they only
+            # feed decay multiplies and the (already bf16) GRU/attention
+            # matmuls, and the buffers/densified tables are the largest
+            # recurring HBM traffic of the epoch (results/round3/trace2).
+            # f32 on CPU keeps the full-precision oracles exact.
+            bdt = cfg.hot_dtype or jnp.float32
+            bufs0 = tuple(vary_carry(jnp.zeros((L1, A, d), bdt))
+                          for _ in range(n_buf))
+            pos_xs, sa_xs, key_xs, rate_xs = self._window_xs(
+                win, length, train, rng, drop_rates)
+            # input-feature gather hoisted out of the scan: as an xs input
+            # its cotangent is stacked per step (O(A*d)) and scattered into
+            # d(ent_embeds) ONCE, instead of an O(N*d) scatter-add per scan
+            # step in the transposed loop (round-3 trace: that scatter was
+            # ~35% of the epoch)
+            h0_xs = self.input_embeddings_rows(
+                params, win.t_idx[:L1], win.act_idx[:L1])
+            unroll = int(cfg.scan_unroll) or (
+                L1 if jax.default_backend() == "tpu" else 1)
+            bufs, _ = jax.lax.scan(
+                step, bufs0,
+                (pos_xs, sa_xs, key_xs, rate_xs, prev_step, prev_row, h0_xs),
+                unroll=max(1, unroll))
 
         # densify once: hist[e] = output at e's last active step, else 0
         fin_step = tbl.fin_step[t_pos]  # [N] int16

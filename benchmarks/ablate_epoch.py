@@ -16,6 +16,10 @@ block_until_ready is a no-op on this remote-attached backend.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 

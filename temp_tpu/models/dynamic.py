@@ -204,7 +204,7 @@ class DynamicRGCNModel:
         if (cfg.fused_window_on and manual_axis() is None
                 and fused_window_supported(
                     cfg, _base_module(cfg.module), n_buf, use_dropout,
-                    use_drop_edge)):
+                    use_drop_edge, L1=L1, A=A, E=win.src_loc.shape[1])):
             # Whole-window Pallas megakernel: the entire L1-step recurrence
             # (both RGCN layers + GRUs + decay + dropout) runs VMEM-resident
             # in one dispatch (ops/fused_window.py). Semantically identical

@@ -444,8 +444,19 @@ _fused_window.defvjp(_fused_window_fwd, _fused_window_bwd)
 
 
 def fused_window_supported(cfg, base: str, n_buf: int, use_dropout: bool,
-                           use_drop_edge: bool) -> bool:
-    """Static support check; callers fall back to the XLA scan otherwise."""
+                           use_drop_edge: bool, L1: int = 1, A: int = 1,
+                           E: int = 1) -> bool:
+    """Static support check; callers fall back to the XLA scan otherwise.
+
+    The size guards bound the two largest in-kernel transients — the
+    prev-gather one-hot [Ap, L1*Ap] (<= 32 MB bf16) and the edge one-hots
+    [Ep, Ap] (<= 16 MB bf16) — so the whole working set stays inside the
+    ~128 MB v5e VMEM. icews14 (A=E=384, L1=14) is 4 MB / 0.3 MB; GDELT
+    (A ~ 1k, E ~ 5k) fits; the icews05-15 active sets (A ~ 2k over L1=9)
+    exceed the first bound and use the XLA scan.
+    """
+    Ap = _round_up(max(A, 1), _LANE)
+    Ep = _round_up(max(E, 1), _LANE)
     return (_HAS_PLTPU
             and base == "GRRGCN"
             and not cfg.rec_only_last_layer
@@ -455,7 +466,9 @@ def fused_window_supported(cfg, base: str, n_buf: int, use_dropout: bool,
             and not cfg.use_time_embedding
             and cfg.n_bases == cfg.embed_size == cfg.hidden_size
             and n_buf in (2, 3)
-            and not use_dropout and not use_drop_edge)
+            and not use_dropout and not use_drop_edge
+            and L1 * Ap * Ap <= (1 << 24)
+            and Ep * Ap <= (1 << 23))
 
 
 def fused_window_scan(enc_params, cfg, lc2, h0_xs, src, dst, rel, emask,

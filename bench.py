@@ -101,6 +101,12 @@ def main():
     # time to max(compute-bound, bandwidth-bound) minimum time. This workload
     # is tiny-operand/latency-bound (d=128 diagonal relations), so the HBM
     # term dominates the bound.
+    # NOTE (round 3): with the fused Pallas kernels (ops/fused_window.py,
+    # ops/fused_final.py) most of the epoch's FLOPs/bytes live inside opaque
+    # tpu_custom_call ops the cost model cannot see, so gflops/mfu/hbm/
+    # roofline fields are LOWER BOUNDS on the XLA-visible remainder only —
+    # edges/s is the cross-round comparable metric (kernel-level roofline
+    # evidence: results/round3/microbench.json, docs/PERF.md).
     extra = {}
     try:
         lowered = jax.jit(epoch).lower(params, opt_state, 0)

@@ -110,16 +110,29 @@ class TKGConfig:
     # support envelope (diagonal relations, standard GRU, no time embedding),
     # off on CPU (tests exercise it explicitly via interpret mode).
     fused_window: object = "auto"
+    # Same deal for the dense final step + exact-softmax loss
+    # (ops/fused_final.py): one Pallas program per batch element replaces
+    # the 46-sequential-step XLA dispatch chain that dominates after the
+    # window kernel (results/round3/ablate_epoch_fused.json).
+    fused_final: object = "auto"
 
-    @property
-    def fused_window_on(self) -> bool:
-        if isinstance(self.fused_window, str):
-            s = self.fused_window.lower()
+    @staticmethod
+    def _auto_flag(value) -> bool:
+        if isinstance(value, str):
+            s = value.lower()
             if s == "auto":
                 import jax
                 return jax.default_backend() == "tpu"
             return s in ("1", "true", "yes", "on")
-        return bool(self.fused_window)
+        return bool(value)
+
+    @property
+    def fused_window_on(self) -> bool:
+        return self._auto_flag(self.fused_window)
+
+    @property
+    def fused_final_on(self) -> bool:
+        return self._auto_flag(self.fused_final)
 
     # -- run control --------------------------------------------------------
     # reference: utils/args.py:36-39,56-58

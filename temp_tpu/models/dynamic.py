@@ -334,17 +334,54 @@ class DynamicRGCNModel:
 
     def loss(self, params, data: TKGData, t_pos, t_valid, rng):
         """Summed tail+head CE over the batch (DynamicRGCN.py:176-194)."""
+        cfg = self.cfg
         B = t_pos.shape[0]
         rngs = jax.random.split(rng, B)
 
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.ops.fused_final import (
+            fused_final_loss, fused_final_supported,
+        )
+        from temp_tpu.parallel.mesh import manual_axis
+        use_ff = (cfg.fused_final_on and manual_axis() is None
+                  and type(self) is DynamicRGCNModel
+                  and not cfg.use_time_embedding
+                  and fused_final_supported(
+                      cfg, _base_module(cfg.module), self.num_ents,
+                      data.train.src.shape[1]))
+
         def one(tp, tv, r):
             r_fwd, r_loss = jax.random.split(r)
-            table = self.forward_element(params, data, tp, True, r_fwd)
             tr = data.train
-            loss = train_loss_single(
-                self.cfg, data, self.score_all, params["rel_embeds"], table,
-                tp, tr.src[tp], tr.rel[tp], tr.dst[tp], tr.emask[tp], r_loss,
-            )
+            if use_ff:
+                # fused dense final step + exact-softmax CE
+                # (ops/fused_final.py); the history window still runs
+                # through pre_forward (fused or scan). Key derivation
+                # mirrors forward_element + train_loss_single exactly so
+                # the fused and XLA paths draw identical dropout masks,
+                # edge subsamples, and positive subsets.
+                length = self.train_len
+                win = gather_window(data, tp, length)
+                k_pre, k_fin, k_sub = jax.random.split(r_fwd, 3)
+                k_pos = jax.random.split(r_loss, 3)[0]
+                rates = (self.drop_past[tp]
+                         if self.drop_past is not None else None)
+                hist1, hist2, last_pos = self.pre_forward(
+                    params, win, length, True, k_pre, tp, drop_rates=rates)
+                emask_full = win.emask[length - 1]
+                emask_enc = subsample_edges(k_sub, emask_full, 0.5)
+                loss = fused_final_loss(
+                    params, cfg, self.lc2, data, hist1, hist2, last_pos,
+                    win.src[length - 1], win.dst[length - 1],
+                    win.rel[length - 1], emask_enc, emask_full, tp,
+                    k_fin, k_pos, True)
+            else:
+                table = self.forward_element(params, data, tp, True, r_fwd)
+                loss = train_loss_single(
+                    cfg, data, self.score_all, params["rel_embeds"], table,
+                    tp, tr.src[tp], tr.rel[tp], tr.dst[tp], tr.emask[tp],
+                    r_loss,
+                )
             return loss * tv.astype(loss.dtype)
 
         losses = jax.vmap(one)(t_pos, t_valid, rngs)

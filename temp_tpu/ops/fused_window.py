@@ -335,10 +335,12 @@ def _vmem_specs(interpret, n):
     return [pl.BlockSpec(memory_space=ms) for _ in range(n)]
 
 
-def _compiler_params(interpret):
+def _compiler_params(interpret, limit_mb: int = 100):
     if interpret or not _HAS_PLTPU:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # v5e has 128 MB VMEM per core; the dense final-step kernels sit just
+    # above the default 100 MB scoped budget at icews14 shapes
+    return pltpu.CompilerParams(vmem_limit_bytes=limit_mb * 1024 * 1024)
 
 
 def _zero_ct(x):

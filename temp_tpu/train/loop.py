@@ -149,8 +149,11 @@ class Trainer:
 
             n = t_pos_all.shape[0]
             rngs = jax.random.split(rng, n)
+            import os
+            ep_unroll = int(os.environ.get("TEMP_TPU_EPOCH_UNROLL", "1"))
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (t_pos_all, t_valid_all, rngs))
+                body, (params, opt_state), (t_pos_all, t_valid_all, rngs),
+                unroll=max(1, ep_unroll))
             return params, opt_state, losses
 
         @partial(jax.jit, static_argnames=("split",), **out_kw)

@@ -27,11 +27,19 @@ def parse_args(argv=None):
     parser.add_argument("--config", "-c", type=str, default=None)
     for f in dataclasses.fields(TKGConfig):
         name = "--" + f.name.replace("_", "-")
-        if f.type == "bool" or isinstance(f.default, bool):
+        if f.name == "edge_partition":
+            # bool-or-mode flag: bare --edge-partition means psum (True),
+            # --edge-partition ring|ring_pallas|boundary selects the exchange
+            parser.add_argument(name, nargs="?", const=True, default=None,
+                                help="false|psum|ring|ring_pallas|boundary")
+        elif f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(name, action=argparse.BooleanOptionalAction, default=None)
         else:
             parser.add_argument(name, type=str, default=None)
     args = parser.parse_args(argv)
+    if isinstance(args.edge_partition, str) and \
+            args.edge_partition.lower() in ("false", "true", "0", "1"):
+        args.edge_partition = args.edge_partition.lower() in ("true", "1")
 
     raw = {}
     if args.config:

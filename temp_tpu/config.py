@@ -172,6 +172,15 @@ class TKGConfig:
     #                    exchange overlaps with local aggregation
     #     "ring_pallas"— same protocol with explicit Pallas async remote
     #                    copies (parallel/ring_pallas.py)
+    #     "boundary"   — the true boundary-only exchange: per snapshot the
+    #                    data pipeline precomputes, for every (owner,
+    #                    consumer) shard pair, the static list of cut entity
+    #                    rows the consumer's edges read from the owner; one
+    #                    small all-to-all of just those rows replaces the
+    #                    ring rotation (~1/100th the bytes at icews14 mp=8 —
+    #                    benchmarks/comm_volume.py), and entity state stays
+    #                    row-sharded across the whole recurrence with a
+    #                    single all-gather at the end of each forward
 
     @property
     def edge_partition_mode(self) -> Optional[str]:
@@ -180,7 +189,7 @@ class TKGConfig:
         if self.edge_partition is True:
             return "psum"
         mode = str(self.edge_partition)
-        assert mode in ("psum", "ring", "ring_pallas"), mode
+        assert mode in ("psum", "ring", "ring_pallas", "boundary"), mode
         return mode
     distributed: bool = False  # multi-process: jax.distributed + global mesh
     #   (DDP equivalent of reference --distributed_backend ddp; coordinator

@@ -93,6 +93,11 @@ class TKGData:
     train_head: FilterTable
     total_tail: FilterTable  # true tails among train+valid+test (eval filter)
     total_head: FilterTable
+    # boundary-exchange tables (edge_partition='boundary' only; see
+    # parallel/edge_partition.boundary_tables): per snapshot, the entity rows
+    # each (owner, consumer) shard pair exchanges — compact and global space
+    bnd_c: Any = None  # [T, m, m, Cc] int32 or None
+    bnd_g: Any = None  # [T, m, m, Cg] int32 or None
 
     num_ents: int = struct.field(pytree_node=False, default=0)
     num_rels: int = struct.field(pytree_node=False, default=0)
@@ -415,9 +420,15 @@ def _ring_layout(cfg: TKGConfig, data: TKGData) -> TKGData:
     ring edge-partition mode (parallel/edge_partition.ring_regroup_data).
     Done here — not in the Trainer — so everything downstream (models, freq
     features, DropEdge rates) sees ONE consistent edge order."""
-    if cfg.edge_partition_mode in ("ring", "ring_pallas") and cfg.mp_size > 1:
-        from temp_tpu.parallel.edge_partition import ring_regroup_data
-        return ring_regroup_data(data, cfg.mp_size)
+    mode = cfg.edge_partition_mode
+    if mode in ("ring", "ring_pallas", "boundary") and cfg.mp_size > 1:
+        from temp_tpu.parallel.edge_partition import (
+            boundary_tables, ring_regroup_data,
+        )
+        data = ring_regroup_data(data, cfg.mp_size)
+        if mode == "boundary":
+            bnd_c, bnd_g = boundary_tables(data, cfg.mp_size)
+            data = data.replace(bnd_c=bnd_c, bnd_g=bnd_g)
     return data
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from temp_tpu.data.snapshots import TKGData
-from temp_tpu.models.dynamic import DynamicRGCNModel, gather_window
+from temp_tpu.models.dynamic import DynamicRGCNModel, _win_bnd, gather_window
 from temp_tpu.models.encoders import encoder_forward_center
 from temp_tpu.models.layers import Snapshot
 from temp_tpu.ops.sampling import subsample_edges
@@ -53,6 +53,7 @@ class BiDynamicRGCNModel(DynamicRGCNModel):
             rel=win_f.rel[length - 1], emask=emask,
             t_idx=win_f.t_idx[length - 1], valid=win_f.valid[length - 1],
             active=win_f.active[length - 1],
+            bnd=_win_bnd(win_f.bnd_g, length - 1),
         )
         dt_f = (length - 1) - lp_f
         dt_b = (length - 1) - lp_b
@@ -63,4 +64,5 @@ class BiDynamicRGCNModel(DynamicRGCNModel):
         )
         if cfg.use_embed_for_non_active:
             out2 = jnp.where(snap.active[:, None], out2, params["ent_embeds"])
-        return out2
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(out2)

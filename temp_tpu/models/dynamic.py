@@ -46,6 +46,9 @@ class WindowSlice(NamedTuple):
     act_mask: jnp.ndarray  # [L, A]
     src_loc: jnp.ndarray   # [L, E] src position within act_idx row
     dst_loc: jnp.ndarray   # [L, E]
+    # boundary-exchange tables (edge_partition='boundary' only; None else)
+    bnd_c: jnp.ndarray = None  # [L, m, m, Cc] compact-space cut rows
+    bnd_g: jnp.ndarray = None  # [L, m, m, Cg] global-space cut rows
 
 
 def gather_window(data: TKGData, t_pos: jnp.ndarray, length: int,
@@ -70,7 +73,14 @@ def gather_window(data: TKGData, t_pos: jnp.ndarray, length: int,
         act_idx=data.act_idx[safe],
         act_mask=data.act_mask[safe] & valid[:, None],
         src_loc=data.train_src_loc[safe], dst_loc=data.train_dst_loc[safe],
+        bnd_c=None if data.bnd_c is None else data.bnd_c[safe],
+        bnd_g=None if data.bnd_g is None else data.bnd_g[safe],
     )
+
+
+def _win_bnd(bnd, i):
+    """Slice a window boundary table at step i (None-safe)."""
+    return None if bnd is None else bnd[i]
 
 
 class DynamicRGCNModel:
@@ -150,6 +160,7 @@ class DynamicRGCNModel:
                 "valid": win.valid[:L1], "active": win.active[:L1],
                 "act_idx": win.act_idx[:L1], "act_mask": win.act_mask[:L1],
                 "src_loc": win.src_loc[:L1], "dst_loc": win.dst_loc[:L1],
+                "bnd": None if win.bnd_c is None else win.bnd_c[:L1],
             },
             jax.random.split(rng, L1),
             rates,
@@ -238,7 +249,7 @@ class DynamicRGCNModel:
             snap = Snapshot(
                 src=sa["src_loc"], dst=sa["dst_loc"], rel=sa["rel"],
                 emask=emask, t_idx=sa["t_idx"], valid=sa["valid"],
-                active=a_mask,
+                active=a_mask, bnd=sa["bnd"],
             )
             has_prev = pstep >= 0
             gidx = (jnp.maximum(pstep, 0).astype(jnp.int32) * A
@@ -316,7 +327,7 @@ class DynamicRGCNModel:
         snap = Snapshot(
             src=win.src[length - 1], dst=win.dst[length - 1], rel=win.rel[length - 1],
             emask=emask, t_idx=win.t_idx[length - 1], valid=win.valid[length - 1],
-            active=win.active[length - 1],
+            active=win.active[length - 1], bnd=_win_bnd(win.bnd_g, length - 1),
         )
         dt = (length - 1) - last_pos
         _, out2, _ = self._encoder_step(
@@ -327,8 +338,8 @@ class DynamicRGCNModel:
             # diachronic inputs here, via the input_embeddings hook)
             out2 = jnp.where(snap.active[:, None], out2,
                              self.input_embeddings(params, snap.t_idx))
-        from temp_tpu.parallel.mesh import shard_entity
-        return shard_entity(out2)
+        from temp_tpu.parallel.mesh import boundary_gather, shard_entity
+        return shard_entity(boundary_gather(out2))
 
     # -- objectives ---------------------------------------------------------
 

@@ -46,6 +46,9 @@ class Snapshot(NamedTuple):
     t_idx: jnp.ndarray  # scalar int32: position in the sorted times array
     valid: jnp.ndarray  # scalar bool: window slot holds a real snapshot
     active: jnp.ndarray  # [N] bool: entity active at this timestamp
+    # boundary-exchange table for edge_partition='boundary' ([m, m, C] int32,
+    # in the same id space as src/dst; see ops/segment._rel_spmm_boundary)
+    bnd: Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -126,7 +129,7 @@ def rgcn_conv(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
-        dtype=cfg.hot_dtype,
+        dtype=cfg.hot_dtype, bnd=snap.bnd,
     )
     out = agg
     if lc.bias:
@@ -221,7 +224,7 @@ def rrgcn_layer(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
-        dtype=cfg.hot_dtype,
+        dtype=cfg.hot_dtype, bnd=snap.bnd,
     )
     wname = {"fwd": "time_weight_fwd", "bwd": "time_weight_bwd", None: "time_weight"}[direction]
     out = agg + _matmul(prev, p[wname], cfg.hot_dtype) * decay_factor(p, cfg, dt)
@@ -244,7 +247,7 @@ def birrgcn_layer_center(
     agg = rel_spmm(
         h, snap.src, snap.dst, snap.rel, snap.emask,
         p["weight"], lc.n_bases, lc.out_feat, num_ents,
-        dtype=cfg.hot_dtype,
+        dtype=cfg.hot_dtype, bnd=snap.bnd,
     )
     adj_f = prev_f * decay_factor(p, cfg, dt_f)
     adj_b = prev_b * decay_factor(p, cfg, dt_b)

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.frequency import build_freq_features
 from temp_tpu.data.snapshots import TKGData
-from temp_tpu.models.dynamic import DynamicRGCNModel, WindowSlice, gather_window
+from temp_tpu.models.dynamic import (
+    DynamicRGCNModel, WindowSlice, _win_bnd, gather_window,
+)
 from temp_tpu.models.layers import (
     Snapshot, _run_gru, decay_factor, layer_time_embedding, rgcn_conv,
 )
@@ -184,9 +186,13 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
         snap = Snapshot(src=win.src[length - 1], dst=win.dst[length - 1],
                         rel=win.rel[length - 1], emask=emask,
                         t_idx=win.t_idx[length - 1], valid=win.valid[length - 1],
-                        active=win.active[length - 1])
+                        active=win.active[length - 1],
+                        bnd=_win_bnd(win.bnd_g, length - 1))
         dt = (length - 1) - lp
-        return self._final_tables(params, snap, h1, h2, hloc, dt, train, k_fin)
+        loc, rec = self._final_tables(params, snap, h1, h2, hloc, dt, train,
+                                      k_fin)
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(loc), boundary_gather(rec)
 
     # -- gates --------------------------------------------------------------
 
@@ -405,8 +411,11 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
         snap = Snapshot(src=win_f.src[length - 1], dst=win_f.dst[length - 1],
                         rel=win_f.rel[length - 1], emask=emask,
                         t_idx=win_f.t_idx[length - 1], valid=win_f.valid[length - 1],
-                        active=win_f.active[length - 1])
+                        active=win_f.active[length - 1],
+                        bnd=_win_bnd(win_f.bnd_g, length - 1))
         dtf = (length - 1) - lpf
         dtb = (length - 1) - lpb
-        return self._final_tables_bi(params, snap, h1f, h2f, hlocf, dtf,
-                                     h1b, h2b, hlocb, dtb, train, k_fin)
+        loc, rec = self._final_tables_bi(params, snap, h1f, h2f, hlocf, dtf,
+                                         h1b, h2b, hlocb, dtb, train, k_fin)
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(loc), boundary_gather(rec)

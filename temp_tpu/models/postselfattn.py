@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.frequency import build_freq_features
 from temp_tpu.data.snapshots import TKGData
-from temp_tpu.models.dynamic import gather_window
+from temp_tpu.models.dynamic import _win_bnd, gather_window
 from temp_tpu.models.layers import Snapshot, layer_time_embedding, rgcn_conv
 from temp_tpu.models.post import PostDynamicRGCNModel, init_gate_mlp
 from temp_tpu.models.selfattn import (
@@ -66,7 +66,8 @@ class PostSelfAttentionRGCNModel(SelfAttentionRGCNModel):
         snap = Snapshot(src=win.src[length - 1], dst=win.dst[length - 1],
                         rel=win.rel[length - 1], emask=emask,
                         t_idx=win.t_idx[length - 1], valid=win.valid[length - 1],
-                        active=win.active[length - 1])
+                        active=win.active[length - 1],
+                        bnd=_win_bnd(win.bnd_g, length - 1))
         enc = params["encoder"]
         rng1, rng2 = jax.random.split(k_fin)
         conv1 = rgcn_conv(enc["layer1"], cfg, self.lc1, params["ent_embeds"],
@@ -77,7 +78,8 @@ class PostSelfAttentionRGCNModel(SelfAttentionRGCNModel):
         full_mask = jnp.concatenate([mask, jnp.zeros((1, N))], axis=0)
         rec = attention_over_history(enc["layer2"], cfg, cur2, h2,
                                      self._time_diff(length), full_mask)
-        return cur2, rec
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(cur2), boundary_gather(rec)
 
     # gating loss/eval machinery shared with PostDynamicRGCN
     _features = PostDynamicRGCNModel._features
@@ -135,7 +137,8 @@ class PostBiSelfAttentionRGCNModel(PostSelfAttentionRGCNModel):
         snap = Snapshot(src=win_f.src[length - 1], dst=win_f.dst[length - 1],
                         rel=win_f.rel[length - 1], emask=emask,
                         t_idx=win_f.t_idx[length - 1], valid=win_f.valid[length - 1],
-                        active=win_f.active[length - 1])
+                        active=win_f.active[length - 1],
+                        bnd=_win_bnd(win_f.bnd_g, length - 1))
         enc = params["encoder"]
         rng1, rng2 = jax.random.split(k_fin)
         conv1 = rgcn_conv(enc["layer1"], cfg, self.lc1, params["ent_embeds"],
@@ -146,4 +149,5 @@ class PostBiSelfAttentionRGCNModel(PostSelfAttentionRGCNModel):
         full_mask = jnp.concatenate([mask, jnp.zeros((1, N))], axis=0)
         rec = attention_over_history(enc["layer2"], cfg, cur2, h2,
                                      self._time_diff(length), full_mask)
-        return cur2, rec
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(cur2), boundary_gather(rec)

@@ -54,6 +54,7 @@ class StaticRGCNModel:
         snap = Snapshot(
             src=tr.src[t_pos], dst=tr.dst[t_pos], rel=tr.rel[t_pos], emask=emask,
             t_idx=t_pos, valid=jnp.asarray(True), active=data.active[t_pos],
+            bnd=None if data.bnd_g is None else data.bnd_g[t_pos],
         )
         h0 = self.input_embeddings(params, t_pos)
         _, out2 = static_rgcn_forward(
@@ -62,7 +63,8 @@ class StaticRGCNModel:
         )
         if self.cfg.use_embed_for_non_active:
             out2 = jnp.where(snap.active[:, None], out2, h0)
-        return out2
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(out2)
 
     def loss(self, params, data: TKGData, t_pos, t_valid, rng):
         B = t_pos.shape[0]

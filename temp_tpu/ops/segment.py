@@ -82,6 +82,7 @@ def rel_spmm(
     num_ents: int,
     method: str = "auto",
     dtype=None,
+    bnd: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Full RGCN neighborhood aggregation with the reference's double degree
     normalization.
@@ -110,6 +111,15 @@ def rel_spmm(
         # edges (parallel/edge_partition.ring_regroup_data) and rotate
         # row-sharded entity states over ICI instead.
         axis, mp, mode = part
+        if mode == "boundary":
+            assert bnd is not None, (
+                "boundary mode needs the per-snapshot exchange table "
+                "(Snapshot.bnd); build the dataset with "
+                "edge_partition='boundary' so build_tkg_data attaches "
+                "bnd_c/bnd_g (parallel/edge_partition.boundary_tables)")
+            return _rel_spmm_boundary(h, src, dst, rel, emask, weight,
+                                      n_bases, d_out, num_ents, axis, mp,
+                                      bnd, dtype=dtype)
         if mode in ("ring", "ring_pallas"):
             return _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases,
                                   d_out, num_ents, axis, mp, dtype=dtype,
@@ -262,6 +272,84 @@ def _rel_spmm_ring(h, src, dst, rel, emask, weight, n_bases, d_out,
         out_loc = acc * norm[:, None]
 
     out = jax.lax.all_gather(out_loc, axis, tiled=True)  # [m*rows, d_out]
+    return out[:num_ents]
+
+
+def _rel_spmm_boundary(h, src, dst, rel, emask, weight, n_bases, d_out,
+                       num_ents, axis, m, bnd, dtype=None):
+    """Boundary-ONLY entity exchange: the SURVEY §2.8 north star proper.
+
+    psum all-reduces full [N, d] partials and the ring rotates full [N/m, d]
+    shards — both move ~2(m-1)/m·N·d bytes per call while the graph cut is
+    tiny (icews14 mp=8: 15-37 entities per shard, results/round?/
+    comm_volume.json `boundary_vs_psum` 0.0027-0.0104). Here only the cut
+    moves: the data pipeline precomputes, per snapshot and per (owner j ->
+    consumer i) shard pair, the static-padded list of entity rows shard i's
+    edges read from shard j (parallel/edge_partition.boundary_tables); one
+    small `lax.all_to_all` of exactly those rows is the only collective, and
+    XLA's latency-hiding scheduler overlaps it with the norm/degree work that
+    doesn't depend on remote rows. Replaces the reference's implicit NCCL
+    story around its DGL update_all (reference models/RGCN.py:100-101,
+    utils/args.py:12 --distributed_backend ddp).
+
+    Valid-slice contract (differs from ring/psum): both the input and the
+    output [num_ents, d] are only guaranteed CORRECT in the caller's own row
+    shard ([me*rows, (me+1)*rows)); remote rows are garbage-finite. The
+    exchange overwrites exactly the remote rows this member's edges will
+    gather, and each member aggregates only its dst-owned edge slice, so its
+    own output rows are exact. The recurrence (GRU/decay/self-loop/history
+    gathers) is row-local and the ring data layout keeps every entity's
+    compact slot inside its owner's shard, so the invariant survives the
+    whole window scan; models re-replicate ONCE per forward with
+    parallel/mesh.boundary_gather before scoring. That single deferred
+    all-gather (amortized over the ~2L rel_spmm calls of a window) is what
+    drops per-call comm from ring's ~N·d to the boundary row of the comm
+    model.
+
+    `bnd`: [m, m, C] int32, bnd[j, i] = the (owner-space) entity ids owner j
+    sends consumer i; padding entries are `num_ents` (gather clips to a
+    garbage row that the consumer-side scatter then drops as out-of-bounds,
+    so no separate mask array is needed). Diagonal entries are all padding.
+    """
+    from temp_tpu.parallel.edge_partition import ring_geometry
+
+    d_in = h.shape[-1]
+    E = src.shape[0]
+    assert E % m == 0, (
+        f"boundary mode needs dst-owner-grouped edges (E={E} not divisible "
+        f"by m={m}); build data with edge_partition='boundary' so "
+        f"build_tkg_data applies ring_regroup_data")
+    rows = ring_geometry(num_ents, m)
+    me = jax.lax.axis_index(axis)
+
+    # my edge slice: exactly the edges whose dst rows I own
+    cap = E // m
+    eidx = me * cap + jnp.arange(cap, dtype=src.dtype)
+    src_l, rel_l = src[eidx], rel[eidx]
+    em_l = emask[eidx]
+    dst_loc = jnp.clip(dst[eidx] - me * rows, 0, rows - 1)
+
+    deg = segment_sum(em_l.astype(jnp.float32), dst_loc, rows)
+    norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+
+    # the exchange: only cut entities ride ICI (in the hot dtype — bf16 on
+    # TPU halves the wire bytes; the rows feed bf16 matmuls downstream anyway)
+    send_ids = bnd[me]                                   # [m, C]
+    send_rows = h[jnp.clip(send_ids, 0, num_ents - 1)]   # [m, C, d_in]
+    if dtype is not None:
+        send_rows = send_rows.astype(dtype)
+    halo = jax.lax.all_to_all(send_rows, axis, split_axis=0, concat_axis=0)
+    recv_ids = bnd[:, me]                                # [m, C]: row j <- owner j
+    h_x = h.at[recv_ids.reshape(-1)].set(
+        halo.reshape(-1, d_in).astype(h.dtype), mode="drop")
+
+    msg = rel_message(h_x[src_l], rel_l, weight, n_bases, d_in, d_out,
+                      dtype=dtype)
+    msg = msg * (norm[dst_loc] * em_l.astype(h.dtype))[:, None]
+    out_loc = segment_sum(msg, dst_loc, rows) * norm[:, None]
+
+    out = jnp.zeros((m * rows, d_out), out_loc.dtype)
+    out = jax.lax.dynamic_update_slice_in_dim(out, out_loc, me * rows, 0)
     return out[:num_ents]
 
 

@@ -212,6 +212,66 @@ def ring_regroup_data(data, m: int, align: int = 128):
                         train_src_loc=n_srcl, train_dst_loc=n_dstl)
 
 
+def boundary_tables(data, m: int, align: int = 4):
+    """Host-side prep for edge_partition='boundary' (ops/segment.py
+    _rel_spmm_boundary): per snapshot, for every ordered shard pair
+    (owner j -> consumer i, j != i), the deduped list of entity rows that
+    shard i's dst-owned edge slice reads from shard j — the graph CUT, the
+    only state that must move between chips per rel_spmm call.
+
+    Requires the ring_regroup_data layout (edges grouped by dst owner, and
+    compact active slots laid out per global shard so an entity's compact
+    owner equals its global owner). Returns (bnd_c, bnd_g):
+
+    - bnd_c [T, m, m, Cc] int32 — COMPACT-space ids (history-step calls,
+      h is the [A, d] active table), padding sentinel = A,
+    - bnd_g [T, m, m, Cg] int32 — GLOBAL-space ids (final-step calls,
+      h is the [N, d] table), padding sentinel = num_ents.
+
+    Capacities Cc/Cg are the max cut over all (t, j, i) rounded up to
+    `align`; they bound the all-to-all's static shape, so keeping them tight
+    keeps the measured wire bytes near the comm model's boundary row
+    (benchmarks/comm_volume.py).
+    """
+    import numpy as np
+
+    rows = ring_geometry(data.num_ents, m)
+    A = data.act_idx.shape[1]
+    a_cap = A // m
+    T = data.num_times
+    em = np.asarray(data.train.emask)
+    E = em.shape[1]
+    assert E % m == 0, "apply ring_regroup_data first"
+    e_cap = E // m
+
+    def build(src_arr, owner_div, sentinel):
+        src_arr = np.asarray(src_arr)
+        lists: dict = {}
+        longest = 1
+        for t in range(T):
+            for i in range(m):
+                sl = slice(i * e_cap, (i + 1) * e_cap)
+                s = src_arr[t, sl][em[t, sl]]
+                own = s // owner_div
+                for j in np.unique(own):
+                    if j == i:
+                        continue
+                    ids = np.unique(s[own == j])
+                    lists[(t, int(j), i)] = ids
+                    longest = max(longest, len(ids))
+        C = max(align, -(-longest // align) * align)
+        out = np.full((T, m, m, C), sentinel, np.int32)
+        used = 0
+        for (t, j, i), ids in lists.items():
+            out[t, j, i, : len(ids)] = ids
+            used += len(ids)
+        return out, used
+
+    bnd_c, _ = build(data.train_src_loc, a_cap, A)
+    bnd_g, _ = build(data.train.src, rows, data.num_ents)
+    return bnd_c, bnd_g
+
+
 def group_edges_by_dst_owner(src, dst, rel, emask, num_ents: int, m: int):
     """Host-side prep: reorder+pad edges so each device's shard-contiguous
     slice contains exactly the edges whose dst row it owns."""

@@ -60,17 +60,47 @@ def vary_batch(x):
 
 
 def vary_carry(x):
-    """vary_batch, plus the manual model axis in ring modes: the ring SpMM's
-    all_gather types its outputs as varying over the model axis (values ARE
-    replicated; see EdgePartitionedModel check_vma note), so scan carries fed
-    from encoder outputs must carry the same vma."""
+    """vary_batch, plus the manual model axis in ring/boundary modes: the
+    ring SpMM's all_gather types its outputs as varying over the model axis
+    (values ARE replicated; see EdgePartitionedModel check_vma note), and
+    boundary-mode states are GENUINELY varying (valid-slice contract,
+    ops/segment._rel_spmm_boundary) — either way scan carries fed from
+    encoder outputs must carry the same vma."""
     if _MANUAL is None or not hasattr(jax.lax, "pcast"):
         return x
     axes = ("data",)
-    if _MANUAL[2] in ("ring", "ring_pallas"):
+    if _MANUAL[2] in ("ring", "ring_pallas", "boundary"):
         axes = ("data", _MANUAL[0])
     return jax.tree_util.tree_map(
         lambda a: jax.lax.pcast(a, axes, to="varying"), x)
+
+
+def boundary_gather(x):
+    """Re-replicate a valid-slice entity table (manual boundary mode only;
+    identity otherwise — single-chip and ring/psum paths pay nothing).
+
+    Under edge_partition='boundary' every [n, d] entity-indexed array is only
+    correct in the caller's own row shard (ops/segment._rel_spmm_boundary
+    valid-slice contract). Models call this ONCE per forward, right before
+    scoring/sampling need the full table: each member contributes its own
+    rows and an all_gather rebuilds the replicated [n, d]. Deferring
+    re-replication to this single point — instead of ring's per-rel_spmm-call
+    gather — is what makes the per-call exchange boundary-only.
+    """
+    if _MANUAL is None or _MANUAL[2] != "boundary":
+        return x
+    axis, m, _ = _MANUAL
+    import jax.numpy as jnp
+
+    from temp_tpu.parallel.edge_partition import ring_geometry
+
+    n = x.shape[0]
+    rows = ring_geometry(n, m)
+    me = jax.lax.axis_index(axis)
+    xp = jnp.pad(x, ((0, m * rows - n),) + ((0, 0),) * (x.ndim - 1))
+    mine = jax.lax.dynamic_slice_in_dim(xp, me * rows, rows, 0)
+    full = jax.lax.all_gather(mine, axis, tiled=True)
+    return full[:n]
 
 
 def make_mesh(dp: int, mp: int = 1, devices=None) -> Mesh:

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.snapshots import TKGData
-from temp_tpu.models.dynamic import DynamicRGCNModel, WindowSlice, gather_window
+from temp_tpu.models.dynamic import (
+    DynamicRGCNModel, WindowSlice, _win_bnd, gather_window,
+)
 from temp_tpu.models.layers import (
     Snapshot, init_rgcn_layer, layer_time_embedding, rgcn_conv,
 )
@@ -153,7 +155,7 @@ class SelfAttentionRGCNModel(DynamicRGCNModel):
                 emask = subsample_edges(kd, emask, 0.8)  # SelfAttentionRGCN.py:118
             snap = Snapshot(src=win.src[i], dst=win.dst[i], rel=win.rel[i],
                             emask=emask, t_idx=win.t_idx[i], valid=win.valid[i],
-                            active=win.active[i])
+                            active=win.active[i], bnd=_win_bnd(win.bnd_g, i))
             h1, h2 = self._static_step(params, snap, train, key)
             upd = (win.active[i] & win.valid[i])[:, None]
             return jnp.where(upd, h1, 0.0), jnp.where(upd, h2, 0.0)
@@ -183,17 +185,30 @@ class SelfAttentionRGCNModel(DynamicRGCNModel):
         snap = Snapshot(src=win.src[length - 1], dst=win.dst[length - 1],
                         rel=win.rel[length - 1], emask=emask,
                         t_idx=win.t_idx[length - 1], valid=win.valid[length - 1],
-                        active=win.active[length - 1])
+                        active=win.active[length - 1],
+                        bnd=_win_bnd(win.bnd_g, length - 1))
         table = self._final(params, snap, h1, h2, mask, self._time_diff(length),
                             train, k_fin)
         if cfg.use_embed_for_non_active:
             table = jnp.where(snap.active[:, None], table, params["ent_embeds"])
-        return table
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(table)
 
     def _final(self, params, snap: Snapshot, h1, h2, mask, time_diff,
                train: bool, rng):
         """SARGCN.forward_final (SARGCN.py:109-117): attention over history
-        for each layer, JK max-pool unless rec_only_last_layer."""
+        for each layer, JK max-pool unless rec_only_last_layer.
+
+        Inactive rows follow SARGCN.forward_isolated (SARGCN.py:119-125),
+        whose layer-2 input is layer 1's ATTENTION output (`first_ent_embeds`
+        = calc_result), NOT layer 1's conv output like the active-graph path
+        (SARGCN.forward_final:111-115 passes `first_batched_graph`). Since an
+        edge's src is active at its own snapshot by construction, swapping
+        inactive rows of the layer-2 input leaves aggregation untouched and
+        one dense conv2 reproduces BOTH reference paths. (Round-3 versions
+        fed conv1 everywhere — wrong for the ~93% inactive candidate rows on
+        icews14; found by the round-4 trajectory parity hunt, VERDICT r3 #2.)
+        """
         cfg = self.cfg
         enc = params["encoder"]
         rng1, rng2 = jax.random.split(rng)
@@ -204,14 +219,24 @@ class SelfAttentionRGCNModel(DynamicRGCNModel):
         conv1 = rgcn_conv(enc["layer1"], cfg, self.lc1, params["ent_embeds"],
                           snap, train, rng1)
         cur1 = conv1 + layer_time_embedding(enc["layer1"], snap)
-        conv2 = rgcn_conv(enc["layer2"], cfg, self.lc2, conv1, snap, train, rng2)
+
+        attn1 = None
+        h2in = conv1
+        if not cfg.rec_only_last_layer:
+            attn1 = attention_over_history(enc["layer1"], cfg, cur1, h1,
+                                           time_diff, full_mask)
+            if not cfg.ema:
+                # EMA's isolated path keeps the plain layer-1 output as the
+                # layer-2 input (SARGCN.forward_ema_isolated:127-130), and
+                # its inactive attn rows are discarded below anyway
+                h2in = jnp.where(snap.active[:, None], conv1, attn1)
+        conv2 = rgcn_conv(enc["layer2"], cfg, self.lc2, h2in, snap, train, rng2)
         cur2 = conv2 + layer_time_embedding(enc["layer2"], snap)
 
         attn2 = attention_over_history(enc["layer2"], cfg, cur2, h2, time_diff, full_mask)
         if cfg.rec_only_last_layer:
             out = attn2
         else:
-            attn1 = attention_over_history(enc["layer1"], cfg, cur1, h1, time_diff, full_mask)
             out = jnp.maximum(attn1, attn2)
 
         if cfg.ema:
@@ -254,9 +279,11 @@ class BiSelfAttentionRGCNModel(SelfAttentionRGCNModel):
         snap = Snapshot(src=win_f.src[length - 1], dst=win_f.dst[length - 1],
                         rel=win_f.rel[length - 1], emask=emask,
                         t_idx=win_f.t_idx[length - 1], valid=win_f.valid[length - 1],
-                        active=win_f.active[length - 1])
+                        active=win_f.active[length - 1],
+                        bnd=_win_bnd(win_f.bnd_g, length - 1))
         table = self._final(params, snap, h1, h2, mask, self._time_diff(length),
                             train, k_fin)
         if cfg.use_embed_for_non_active:
             table = jnp.where(snap.active[:, None], table, params["ent_embeds"])
-        return table
+        from temp_tpu.parallel.mesh import boundary_gather
+        return boundary_gather(table)

@@ -1,0 +1,232 @@
+"""Multi-step trajectory parity for the self-attention family (VERDICT r3
+item 2): the full SARGCN / BiSARGCN forward_element vs a torch oracle
+reimplementing the reference pipeline step by step:
+
+- history accumulation: per-step static 2-layer RGCN, outputs + time
+  embeddings scattered into [L-1, N, d] tables for ACTIVE entities, additive
+  attn mask init -10e9 set to 0 where active
+  (models/SelfAttentionRGCN.py:97-120),
+- final step, active rows: SARGCN.forward_final (SARGCN.py:109-117) — layer-2
+  conv consumes layer-1's CONV output; 8-head attention of each layer's
+  current state over [history..., current] with the activity mask (+ optional
+  learnable decay logits, SARGCN.py:25-53, head merge in [d_k, heads] order);
+  JK max over the two attention outputs,
+- final step, inactive rows: SARGCN.forward_isolated (SARGCN.py:119-125) —
+  layer-2's input is layer 1's ATTENTION output, layers are self-loop-only,
+- BiSARGCN: forward+backward histories concatenated along the time axis with
+  a zero mask slot for the current snapshot and time_diff
+  [L-1..1, L-1..1, 0] (models/BiSelfAttentionRGCN.py:17-23,57-58).
+
+This is the test the round-3 verdict flagged as missing; writing it exposed
+the layer-2 isolated-input bug fixed in models/selfattn.py `_final`.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import build_tkg_data_from_quads
+
+# N chosen so ~40% of entities are INACTIVE per snapshot — the isolated path
+# (the round-4 bug fix) must actually be exercised
+N, D, NB, R, T = 40, 16, 8, 3, 6
+R2 = 2 * R
+HEADS = 8
+
+
+def torch_conv(h, src, rel, dst, weight, loop_w, bias):
+    """RGCN conv with the double dst-norm, bias=True (SA layer cfg,
+    SARGCN.py:94-101), activation applied by the caller."""
+    import collections
+
+    deg = collections.Counter(dst.tolist())
+    norm = {v: 1.0 / c for v, c in deg.items()}
+    out = h @ torch.tensor(loop_w) + torch.tensor(bias)
+    agg = torch.zeros_like(out)
+    si = D // NB
+    for e in range(len(src)):
+        w = torch.tensor(weight[rel[e]]).view(NB, si, si)
+        hb = h[src[e]].view(NB, 1, si)
+        msg = torch.bmm(hb, w).reshape(D) * norm[dst[e]]
+        agg[dst[e]] += msg * norm[dst[e]]
+    return agg + out
+
+
+def torch_attention(p, cur, hist_slots, time_diff, mask, learnable):
+    """SARGCNLayer.calc_result/attention (SARGCN.py:25-53): q from the
+    current state, k/v over [history..., current], additive mask, optional
+    decay logits, [d_k, heads] head merge."""
+    wq = torch.tensor(np.asarray(p["q_linear"]))
+    wk = torch.tensor(np.asarray(p["k_linear"]))
+    wv = torch.tensor(np.asarray(p["v_linear"]))
+    allt = torch.cat([hist_slots, cur.unsqueeze(0)], dim=0)   # [L, N, d]
+    L = allt.shape[0]
+    dk = D // HEADS
+    q = (cur @ wq.T).view(N, HEADS, dk)
+    k = (allt @ wk.T).view(L, N, HEADS, dk)
+    v = (allt @ wv.T).view(L, N, HEADS, dk)
+    scores = torch.einsum("nhd,lnhd->nhl", q, k) / math.sqrt(dk)
+    if learnable:
+        decay = -torch.clamp(
+            torch.tensor(float(np.asarray(p["decay_w"]))) * time_diff
+            + torch.tensor(float(np.asarray(p["decay_b"]))), min=0.0)
+        scores = scores + decay.view(1, 1, L)
+    scores = scores + mask.T.view(N, 1, L)
+    attn = torch.softmax(scores, dim=-1)
+    out = torch.einsum("nhl,lnhd->nhd", attn, v)
+    return out.transpose(1, 2).reshape(N, D)  # [d_k, heads] merge order
+
+
+def _setup(module, seq_len, learnable):
+    rng = np.random.RandomState(7)
+    quads = np.stack([
+        rng.randint(0, N, 150), rng.randint(0, R, 150),
+        rng.randint(0, N, 150), rng.randint(0, T, 150)], 1).astype(np.int64)
+    data = jax.device_put(build_tkg_data_from_quads(
+        quads, quads[:6], quads[:6], N, R, edge_pad_multiple=8))
+    cfg = TKGConfig(module=module, embed_size=D, hidden_size=D, n_bases=NB,
+                    train_seq_len=seq_len, dropout=0.0,
+                    learnable_lambda=learnable)
+    from temp_tpu.models.registry import get_model
+    model = get_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return data, cfg, model, params
+
+
+def _snapshot_edges(data, i):
+    k = int(np.asarray(data.train.n_edges)[i])
+    return (np.asarray(data.train.src)[i, :k],
+            np.asarray(data.train.rel)[i, :k],
+            np.asarray(data.train.dst)[i, :k],
+            np.asarray(data.active)[i])
+
+
+def _layer_params(enc, name):
+    p = enc[name]
+    return (np.asarray(p["weight"]), np.asarray(p["loop_weight"]),
+            np.asarray(p["h_bias"]), np.asarray(p["time_embed"]))
+
+
+def _oracle_history(data, params, positions):
+    """SelfAttentionRGCN.pre_forward (SelfAttentionRGCN.py:104-120): per-step
+    SARGCN.forward states + mask updates. `positions` lists absolute time
+    positions of the L-1 history slots (in slot order)."""
+    enc = params["encoder"]
+    ent = torch.tensor(np.asarray(params["ent_embeds"]))
+    w1, loop1, b1, te1 = _layer_params(enc, "layer1")
+    w2, loop2, b2, te2 = _layer_params(enc, "layer2")
+    L1 = len(positions)
+    hist1 = torch.zeros(L1, N, D)
+    hist2 = torch.zeros(L1, N, D)
+    mask = torch.full((L1, N), -10e9)
+    for slot, i in enumerate(positions):
+        if not (0 <= i < T):
+            continue  # None-padded window slot: hist stays 0, mask -10e9
+        src, rel, dst, active = _snapshot_edges(data, i)
+        conv1 = torch_conv(ent, src, rel, dst, w1, loop1, b1)
+        conv2 = torch.relu(torch_conv(conv1, src, rel, dst, w2, loop2, b2))
+        h1 = conv1 + torch.tensor(te1[i])
+        h2 = conv2 + torch.tensor(te2[i])
+        act = torch.tensor(active)
+        hist1[slot] = torch.where(act.unsqueeze(1), h1, torch.zeros(()))
+        hist2[slot] = torch.where(act.unsqueeze(1), h2, torch.zeros(()))
+        mask[slot] = torch.where(act, torch.zeros(()), mask[slot])
+    return hist1, hist2, mask
+
+
+def _oracle_final(data, params, cfg, t, hist1, hist2, mask, time_diff):
+    """Active rows: SARGCN.forward_final; inactive rows:
+    SARGCN.forward_isolated (layer-2 input = layer-1 ATTENTION output)."""
+    enc = params["encoder"]
+    ent = torch.tensor(np.asarray(params["ent_embeds"]))
+    w1, loop1, b1, te1 = _layer_params(enc, "layer1")
+    w2, loop2, b2, te2 = _layer_params(enc, "layer2")
+    Lp1 = mask.shape[0] + 1
+    full_mask = torch.cat([mask, torch.zeros(1, N)], dim=0)
+    td = torch.tensor(np.asarray(time_diff), dtype=torch.float32)
+    lam = cfg.learnable_lambda
+
+    src, rel, dst, active = _snapshot_edges(data, t)
+    act = torch.tensor(active).unsqueeze(1)
+
+    # active path (SARGCN.forward_final)
+    conv1 = torch_conv(ent, src, rel, dst, w1, loop1, b1)
+    cur1 = conv1 + torch.tensor(te1[t])
+    attn1 = torch_attention(enc["layer1"], cur1, hist1, td, full_mask, lam)
+    conv2 = torch.relu(torch_conv(conv1, src, rel, dst, w2, loop2, b2))
+    cur2 = conv2 + torch.tensor(te2[t])
+    attn2 = torch_attention(enc["layer2"], cur2, hist2, td, full_mask, lam)
+    out_active = torch.maximum(attn1, attn2)
+
+    # isolated path (SARGCN.forward_isolated): self-loop-only convs, and the
+    # layer-2 input is layer 1's ATTENTION output
+    iso1 = ent @ torch.tensor(loop1) + torch.tensor(b1)
+    cur1_iso = iso1 + torch.tensor(te1[t])
+    attn1_iso = torch_attention(enc["layer1"], cur1_iso, hist1, td,
+                                full_mask, lam)
+    iso2 = torch.relu(attn1_iso @ torch.tensor(loop2) + torch.tensor(b2))
+    cur2_iso = iso2 + torch.tensor(te2[t])
+    attn2_iso = torch_attention(enc["layer2"], cur2_iso, hist2, td,
+                                full_mask, lam)
+    out_iso = torch.maximum(attn1_iso, attn2_iso)
+
+    return torch.where(act, out_active, out_iso).detach().numpy()
+
+
+@pytest.mark.parametrize("learnable", [False, True])
+def test_sargcn_trajectory_matches_reference_semantics(learnable):
+    Lw = 4
+    data, cfg, model, params = _setup("SARGCN", Lw, learnable)
+    t = T - 1
+    table = np.asarray(model.forward_element(
+        params, data, jnp.asarray(t, jnp.int32), False, jax.random.PRNGKey(1)))
+
+    positions = [t - (Lw - 1) + k for k in range(Lw - 1)]
+    hist1, hist2, mask = _oracle_history(data, params, positions)
+    # SelfAttentionRGCN.py:22-23: time_diff = [L-1, ..., 1, 0]
+    oracle = _oracle_final(data, params, cfg, t, hist1, hist2, mask,
+                           np.arange(Lw - 1, -1, -1))
+    np.testing.assert_allclose(table, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_sargcn_short_window_mask():
+    """Window overhanging the dataset start: padded slots must stay fully
+    masked (None snapshots in TKG_Module.get_batch_graph_list)."""
+    Lw = 4
+    data, cfg, model, params = _setup("SARGCN", Lw, False)
+    t = 1  # slots [-2, -1] invalid
+    table = np.asarray(model.forward_element(
+        params, data, jnp.asarray(t, jnp.int32), False, jax.random.PRNGKey(1)))
+    positions = [t - (Lw - 1) + k for k in range(Lw - 1)]
+    hist1, hist2, mask = _oracle_history(data, params, positions)
+    oracle = _oracle_final(data, params, cfg, t, hist1, hist2, mask,
+                           np.arange(Lw - 1, -1, -1))
+    np.testing.assert_allclose(table, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_bisargcn_trajectory_matches_reference_semantics():
+    Lw = 3
+    data, cfg, model, params = _setup("BiSARGCN", Lw, False)
+    t = T // 2  # valid both directions
+    table = np.asarray(model.forward_element(
+        params, data, jnp.asarray(t, jnp.int32), False, jax.random.PRNGKey(1)))
+
+    # forward slots [t-L+1 .. t-1], backward slots [t+L-1 .. t+1]
+    pos_f = [t - (Lw - 1) + k for k in range(Lw - 1)]
+    pos_b = [t + (Lw - 1) - k for k in range(Lw - 1)]
+    h1f, h2f, mask_f = _oracle_history(data, params, pos_f)
+    h1b, h2b, mask_b = _oracle_history(data, params, pos_b)
+    hist1 = torch.cat([h1f, h1b], dim=0)
+    hist2 = torch.cat([h2f, h2b], dim=0)
+    mask = torch.cat([mask_f, mask_b], dim=0)
+    # BiSelfAttentionRGCN.py:19-20: [L-1..1, L-1..1, 0]
+    down = list(range(Lw - 1, 0, -1))
+    td = np.asarray(down + down + [0], dtype=np.float32)
+    oracle = _oracle_final(data, params, cfg, t, hist1, hist2, mask, td)
+    np.testing.assert_allclose(table, oracle, rtol=2e-4, atol=2e-5)

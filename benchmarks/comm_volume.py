@@ -92,9 +92,9 @@ def measured(data, m: int, d: int = 128, itemsize: int = 4):
         boundary_tables, ring_regroup_data)
 
     if getattr(data, "bnd_g", None) is None:
-        if np.asarray(data.train.src).shape[1] % m or \
-                np.asarray(data.act_idx).shape[1] % m:
-            data = ring_regroup_data(data, m)
+        # boundary_tables assumes the dst-owner-grouped layout; raw data's
+        # pads can coincidentally divide m, so always regroup here
+        data = ring_regroup_data(data, m)
         bnd_c, bnd_g = boundary_tables(data, m)
     else:
         bnd_c, bnd_g = data.bnd_c, data.bnd_g

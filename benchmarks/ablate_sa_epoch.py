@@ -43,19 +43,18 @@ def measure(cfg_path, seq1=True):
         trainer, params, opt_state, tp, tv, fwd_epoch = build(cfg)
         rng = jax.random.PRNGKey(0)
         out[f"fwd{tag}_s"] = time_epoch(fwd_epoch, params, tp, tv, rng)
-        out[f"full{tag}_s"] = time_epoch(
-            lambda p, o, tp_, tv_, r: trainer.train_epoch(
-                p, o, trainer.data, tp_, tv_, r),
-            params, opt_state, tp, tv, rng, chain=2)
         if tag == "":
-            import numpy as np
-
+            # eval BEFORE the train timing: train_epoch donates params
             def eval_epoch(p, tp_, tv_):
                 ranks, mask, _ = trainer.eval_epoch(p, trainer.data, tp_,
                                                     tv_, "valid")
                 return mask.sum()
 
             out["eval_s"] = time_epoch(eval_epoch, params, tp, tv)
+        out[f"full{tag}_s"] = time_epoch(
+            lambda p, o, tp_, tv_, r: trainer.train_epoch(
+                p, o, trainer.data, tp_, tv_, r),
+            params, opt_state, tp, tv, rng, chain=2)
     out["backward_opt_share_s"] = out["full_s"] - out["fwd_s"]
     if seq1:
         out["history_share_s"] = out["full_s"] - out["full_L1_s"]

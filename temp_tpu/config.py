@@ -47,7 +47,19 @@ class TKGConfig:
     gradient_clip_val: float = 1.0
     patience: int = 10
     batch_size: int = 8
+    # eval-only batch of target times (None = 4 * batch_size): eval elements
+    # are independent, so a wider batch amortizes the sequential per-batch
+    # dispatch of the fused eval sweep with IDENTICAL ranks — only the
+    # [B, Q, N] score-matrix working set grows (new; the reference evaluates
+    # at the training batch size, models/TKG_Module.py:188-200)
+    eval_batch_size: Optional[int] = None
     seed: int = 123
+
+    @property
+    def eval_batch(self) -> int:
+        if self.eval_batch_size:
+            return int(self.eval_batch_size)
+        return 4 * self.batch_size
     negative_rate: int = 500     # configs use 500 (grid/*/config_*.json)
     num_pos_facts: int = 3000
 
@@ -65,6 +77,11 @@ class TKGConfig:
     learnable_lambda: bool = False
     impute: bool = False
     ema: bool = False            # EMA alternative for attention models
+    sa_compact: bool = False     # SA history in compact [L-1, A, d] form:
+    #   the single-chip memory-scaling mode for giant-N datasets (the
+    #   reference needed 186 GB hosts for the dense [L-1, N, d] tensors,
+    #   launcher_15_sargcn.sh). Identical math (models/selfattn.py
+    #   attention_over_history_compact); dense default is faster on small N
 
     # -- DropEdge params ----------------------------------------------------
     # reference: utils/args.py:19-23

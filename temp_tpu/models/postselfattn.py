@@ -21,7 +21,7 @@ from temp_tpu.models.dynamic import _win_bnd, gather_window
 from temp_tpu.models.layers import Snapshot, layer_time_embedding, rgcn_conv
 from temp_tpu.models.post import PostDynamicRGCNModel, init_gate_mlp
 from temp_tpu.models.selfattn import (
-    BiSelfAttentionRGCNModel, SelfAttentionRGCNModel, attention_over_history,
+    BiSelfAttentionRGCNModel, SelfAttentionRGCNModel,
 )
 from temp_tpu.ops.sampling import subsample_edges
 
@@ -58,7 +58,7 @@ class PostSelfAttentionRGCNModel(SelfAttentionRGCNModel):
         length = self.train_len if train else self.eval_len
         win = gather_window(data, t_pos, length)
         k_hist, k_fin, k_sub = jax.random.split(rng, 3)
-        h1, h2, mask = self._history(params, win, length, train, k_hist)
+        h1, h2, aux = self._history(params, win, length, train, k_hist)
 
         emask = win.emask[length - 1]
         if train:
@@ -75,9 +75,8 @@ class PostSelfAttentionRGCNModel(SelfAttentionRGCNModel):
         conv2 = rgcn_conv(enc["layer2"], cfg, self.lc2, conv1, snap, train, rng2)
         cur2 = conv2 + layer_time_embedding(enc["layer2"], snap)
         N = snap.active.shape[0]
-        full_mask = jnp.concatenate([mask, jnp.zeros((1, N))], axis=0)
-        rec = attention_over_history(enc["layer2"], cfg, cur2, h2,
-                                     self._time_diff(length), full_mask)
+        rec = self._attend(enc["layer2"], cur2, h2, aux,
+                           self._time_diff(length), N)
         from temp_tpu.parallel.mesh import boundary_gather
         return boundary_gather(cur2), boundary_gather(rec)
 
@@ -124,12 +123,12 @@ class PostBiSelfAttentionRGCNModel(PostSelfAttentionRGCNModel):
         win_f = gather_window(data, t_pos, length, backward=False)
         win_b = gather_window(data, t_pos, length, backward=True)
         k_f, k_b, k_fin, k_sub = jax.random.split(rng, 4)
-        h1f, h2f, mask_f = self._history(params, win_f, length, train, k_f,
-                                         honor_random_dropout=False)
-        h1b, h2b, mask_b = self._history(params, win_b, length, train, k_b,
-                                         honor_random_dropout=False)
+        h1f, h2f, aux_f = self._history(params, win_f, length, train,
+                                        k_f, honor_random_dropout=False)
+        h1b, h2b, aux_b = self._history(params, win_b, length, train,
+                                        k_b, honor_random_dropout=False)
         h2 = jnp.concatenate([h2f, h2b], axis=0)
-        mask = jnp.concatenate([mask_f, mask_b], axis=0)
+        aux = self._concat_aux(aux_f, aux_b)
 
         emask = win_f.emask[length - 1]
         if train:
@@ -146,8 +145,7 @@ class PostBiSelfAttentionRGCNModel(PostSelfAttentionRGCNModel):
         conv2 = rgcn_conv(enc["layer2"], cfg, self.lc2, conv1, snap, train, rng2)
         cur2 = conv2 + layer_time_embedding(enc["layer2"], snap)
         N = snap.active.shape[0]
-        full_mask = jnp.concatenate([mask, jnp.zeros((1, N))], axis=0)
-        rec = attention_over_history(enc["layer2"], cfg, cur2, h2,
-                                     self._time_diff(length), full_mask)
+        rec = self._attend(enc["layer2"], cur2, h2, aux,
+                           self._time_diff(length), N)
         from temp_tpu.parallel.mesh import boundary_gather
         return boundary_gather(cur2), boundary_gather(rec)

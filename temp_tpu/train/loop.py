@@ -196,9 +196,15 @@ class Trainer:
         return np.stack(pos), np.stack(valid)
 
     def run_eval(self, params, split: str = "valid") -> Dict[str, Any]:
-        # single fused dispatch for the whole eval sweep
+        # single fused dispatch for the whole eval sweep; eval elements are
+        # independent, so the schedule uses the wider eval batch
+        # (TKGConfig.eval_batch) — identical ranks, fewer sequential steps
+        eb = self.cfg.eval_batch
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            eb = max(dp, (eb // dp) * dp)  # keep the data-axis split legal
         t_pos_all, t_valid_all = self._stack_batches(
-            self.data.num_times, self.cfg.batch_size, None)
+            self.data.num_times, eb, None)
         tp, tv = self._put_batches(t_pos_all, t_valid_all)
         ranks, mask, bces = self.eval_epoch(params, self.data, tp, tv, split)
         m = metrics_from_ranks(self._to_np(ranks), self._to_np(mask))

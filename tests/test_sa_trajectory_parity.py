@@ -230,3 +230,73 @@ def test_bisargcn_trajectory_matches_reference_semantics():
     td = np.asarray(down + down + [0], dtype=np.float32)
     oracle = _oracle_final(data, params, cfg, t, hist1, hist2, mask, td)
     np.testing.assert_allclose(table, oracle, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("learnable", [False, True])
+def test_compact_attention_matches_dense(learnable):
+    """attention_over_history_compact == the dense masked form on the same
+    history (the compact rewrite keeps only active rows per slot and
+    normalizes with segment max/sum; models/selfattn.py)."""
+    from temp_tpu.config import TKGConfig as _C
+    from temp_tpu.models.selfattn import (
+        attention_over_history, attention_over_history_compact, NEG_MASK)
+
+    rng = np.random.RandomState(5)
+    Nn, d, S, A = 37, 16, 4, 12
+    p = {
+        "q_linear": jnp.asarray(rng.randn(d, d).astype(np.float32)) * 0.3,
+        "k_linear": jnp.asarray(rng.randn(d, d).astype(np.float32)) * 0.3,
+        "v_linear": jnp.asarray(rng.randn(d, d).astype(np.float32)) * 0.3,
+        "decay_w": jnp.asarray(0.4), "decay_b": jnp.asarray(-0.1),
+    }
+    cfg = _C(learnable_lambda=learnable)
+    cur = jnp.asarray(rng.randn(Nn, d).astype(np.float32))
+    # compact slots: random distinct active entities per slot, some padding
+    a_idx = np.full((S, A), Nn, np.int32)
+    a_mask = np.zeros((S, A), bool)
+    hist_c = rng.randn(S, A, d).astype(np.float32)
+    for s in range(S):
+        k = rng.randint(3, A)
+        a_idx[s, :k] = rng.choice(Nn, k, replace=False)
+        a_mask[s, :k] = True
+    # dense equivalent
+    hist_d = np.zeros((S, Nn, d), np.float32)
+    mask = np.full((S + 1, Nn), NEG_MASK, np.float32)
+    mask[-1] = 0.0
+    for s in range(S):
+        ids = a_idx[s][a_mask[s]]
+        hist_d[s, ids] = hist_c[s][a_mask[s]]
+        mask[s, ids] = 0.0
+    td = jnp.arange(S, -1, -1, dtype=jnp.float32)
+
+    dense = attention_over_history(p, cfg, cur, jnp.asarray(hist_d), td,
+                                   jnp.asarray(mask))
+    compact = attention_over_history_compact(
+        p, cfg, cur, jnp.asarray(hist_c), jnp.asarray(a_idx),
+        jnp.asarray(a_mask), td, Nn)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense),
+                               rtol=1e-5, atol=1e-6)
+    # gradients through both forms agree too (segment ops transpose)
+    ct = jnp.asarray(rng.randn(Nn, d).astype(np.float32))
+    gd = jax.grad(lambda c: jnp.sum(attention_over_history(
+        p, cfg, c, jnp.asarray(hist_d), td, jnp.asarray(mask)) * ct))(cur)
+    gc = jax.grad(lambda c: jnp.sum(attention_over_history_compact(
+        p, cfg, c, jnp.asarray(hist_c), jnp.asarray(a_idx),
+        jnp.asarray(a_mask), td, Nn) * ct))(cur)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("module", ["SARGCN", "BiSARGCN"])
+def test_sa_compact_mode_matches_dense_mode(module):
+    """sa_compact=True (memory-scaling history form) produces the same final
+    entity table as the dense default."""
+    data, cfg, model, params = _setup(module, 3, False)
+    from temp_tpu.models.registry import get_model
+    model_c = get_model(cfg.replace(sa_compact=True), data)
+    t = T // 2
+    dense = np.asarray(model.forward_element(
+        params, data, jnp.asarray(t, jnp.int32), False, jax.random.PRNGKey(1)))
+    compact = np.asarray(model_c.forward_element(
+        params, data, jnp.asarray(t, jnp.int32), False, jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(compact, dense, rtol=2e-5, atol=2e-6)

@@ -47,10 +47,11 @@ class TKGConfig:
     gradient_clip_val: float = 1.0
     patience: int = 10
     batch_size: int = 8
-    # eval-only batch of target times (None = 4 * batch_size): eval elements
-    # are independent, so a wider batch amortizes the sequential per-batch
-    # dispatch of the fused eval sweep with IDENTICAL ranks — only the
-    # [B, Q, N] score-matrix working set grows (new; the reference evaluates
+    # eval-only batch of target times (None = batch_size). Eval elements are
+    # independent so any width gives identical ranks; measured on v5e a 4x
+    # width was SLOWER (92k -> 73k queries/s — the eval sweep is work-bound,
+    # not dispatch-bound, and the wider [B, Q, N] working set hurts), so the
+    # default matches the training batch (new knob; the reference evaluates
     # at the training batch size, models/TKG_Module.py:188-200)
     eval_batch_size: Optional[int] = None
     seed: int = 123
@@ -59,7 +60,7 @@ class TKGConfig:
     def eval_batch(self) -> int:
         if self.eval_batch_size:
             return int(self.eval_batch_size)
-        return 4 * self.batch_size
+        return self.batch_size
     negative_rate: int = 500     # configs use 500 (grid/*/config_*.json)
     num_pos_facts: int = 3000
 
@@ -150,6 +151,17 @@ class TKGConfig:
     @property
     def fused_final_on(self) -> bool:
         return self._auto_flag(self.fused_final)
+
+    # fused eval kernel (ops/fused_final._eval_kernel): final encoder +
+    # filtered ranks + BCE in one Pallas program. Measured NEUTRAL on v5e
+    # (89.8k vs 92.0k queries/s — the eval sweep is bound by the window
+    # forward, not the rank chain; docs/PERF.md round-4), so default off;
+    # rank-exact vs the XLA path (tests/test_fused_final.py)
+    fused_eval: object = False
+
+    @property
+    def fused_eval_on(self) -> bool:
+        return self._auto_flag(self.fused_eval)
 
     # -- run control --------------------------------------------------------
     # reference: utils/args.py:36-39,56-58

@@ -401,11 +401,39 @@ class DynamicRGCNModel:
     def eval_ranks(self, params, data: TKGData, t_pos, t_valid, split: str):
         """Filtered ranks for a batch of target times (DynamicRGCN.py:118-144,
         196-220). Returns (ranks [B, 2Q], mask [B, 2Q], mean bce loss)."""
+        cfg = self.cfg
         edges = {"valid": data.valid, "test": data.test}[split]
         B = t_pos.shape[0]
         rng = jax.random.PRNGKey(0)  # eval is deterministic; key unused paths
 
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.ops.fused_final import (
+            fused_eval_ranks, fused_eval_supported,
+        )
+        from temp_tpu.parallel.mesh import manual_axis
+        use_fe = (cfg.fused_eval_on and manual_axis() is None
+                  and type(self) is DynamicRGCNModel
+                  and not cfg.use_time_embedding
+                  and fused_eval_supported(
+                      cfg, _base_module(cfg.module), self.num_ents,
+                      data.train.src.shape[1], edges.src.shape[1]))
+
         def one(tp, tv):
+            if use_fe:
+                # fused final-encoder + filtered-rank + BCE kernel
+                # (ops/fused_final._eval_kernel); the history window still
+                # runs through pre_forward (fused or scan)
+                length = self.eval_len
+                win = gather_window(data, tp, length)
+                hist1, hist2, last_pos = self.pre_forward(
+                    params, win, length, False, rng, tp)
+                ranks, mask, bce = fused_eval_ranks(
+                    params, cfg, self.lc2, data, hist1, hist2, last_pos,
+                    win.src[length - 1], win.dst[length - 1],
+                    win.rel[length - 1], win.emask[length - 1],
+                    edges.src[tp], edges.dst[tp], edges.rel[tp],
+                    edges.emask[tp], tp)
+                return ranks, mask & tv, bce
             table = self.forward_element(params, data, tp, False, rng)
             ranks, mask, bce = eval_ranks_single(
                 self.cfg, data, self.score_all, self.score_single,

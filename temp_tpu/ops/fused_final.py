@@ -536,6 +536,199 @@ def _fused_final_bwd(static, res, g):
 _fused_final.defvjp(_fused_final_fwd, _fused_final_bwd)
 
 
+def _eval_kernel(*refs, Np, N, Ep, Qp, d, Rp, F, act2, lam, use_noact, r2,
+                 dtype_str):
+    """Forward-only fused eval: dense final encoder step + filtered ranks +
+    BCE for one batch element, one Pallas program (VERDICT r3 item 8).
+
+    Replaces the XLA chain of models/objectives.eval_ranks_single (reference
+    utils/evaluation.py:53-106): query scoring against the whole table, the
+    time-aware true-answer mask over the TOTAL filter tables, and the
+    sort-free count-of-strictly-greater rank, all VMEM-resident. No backward
+    exists (eval), so unlike _fused_final there is no custom VJP.
+
+    Inputs = the _Final encoder inputs (train-snapshot edges; the posm slot
+    carries the [Qp, 1] query mask; tgrp/tval/hgrp/hval carry the TOTAL
+    filter tables) + qsrc/qdst/qrel [Qp, 1] eval-split queries.
+    Outputs: ranks_head [Qp, 1] f32, ranks_tail [Qp, 1] f32, bce (1, 1).
+    """
+    ins = refs[:_N_IN]
+    qsrc_ref, qdst_ref, qrel_ref = refs[_N_IN:_N_IN + 3]
+    rh_ref, rt_ref, bce_ref = refs[_N_IN + 3:]
+    st = _Final(ins, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, rate=0.0,
+                act2=act2, lam=lam, train=False, use_noact=use_noact,
+                r2=r2, dtype_str=dtype_str)
+    st.encoder()
+    table32 = st.table.astype(jnp.float32)
+    d2 = d // 2
+    hi = jax.lax.Precision.HIGHEST
+
+    qsrc, qdst, qrel = qsrc_ref[...], qdst_ref[...], qrel_ref[...]
+    ohqs = _onehot(qsrc, Np, jnp.float32)                  # [Qp, Np]
+    ohqd = _onehot(qdst, Np, jnp.float32)
+    ohqr = _onehot(qrel, Rp, jnp.float32)
+    # eval scoring is f32 end to end in the XLA path (eval_ranks_single
+    # passes no dtype) — exact f32 gathers + HIGHEST contractions here keep
+    # the fused ranks comparison-identical
+    s_rows = _dot(ohqs, table32, hi)                       # [Qp, d]
+    o_rows = _dot(ohqd, table32, hi)
+    remb = _dot(ohqr, st.rtab[...].astype(jnp.float32), hi)
+    qmask = st.posm[...]                                   # [Qp, 1]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+    def ranks_for(qhat, pos_rows, target, q_grp, grp_ref, val_ref):
+        sc_all = _dot_c1(qhat, table32, hi)                # [Qp, Np]
+        match = (q_grp == grp_ref[...]).astype(jnp.bfloat16)
+        ohv = _onehot(val_ref[...], Np, jnp.bfloat16)      # [F, Np]
+        counts = jnp.dot(match, ohv, preferred_element_type=jnp.float32)
+        keep_target = cols == target
+        bad = jnp.logical_and(jnp.logical_or(counts > 0.5, cols >= N),
+                              jnp.logical_not(keep_target))
+        masked = jnp.where(bad, -1.0e7, sc_all)            # ops/ranking.NEG_INF
+        tgt = jnp.sum(qhat * pos_rows, axis=1, keepdims=True)
+        rank = jnp.sum((masked > tgt).astype(jnp.float32), axis=1,
+                       keepdims=True) + 1.0
+        return rank, tgt
+
+    qhat_t = _qhat_tail(s_rows, remb, d2)
+    rt, tgt_t = ranks_for(qhat_t, o_rows, qdst,
+                          qsrc * r2 + qrel, st.tgrp, st.tval)
+    qhat_h = _qhat_head(o_rows, remb, d2)
+    rh, _ = ranks_for(qhat_h, s_rows, qsrc,
+                      qdst * r2 + qrel, st.hgrp, st.hval)
+
+    # BCE-with-logits on positives, label 1 (TKG_Module.py:215-223); the
+    # positive tail score IS score_single for ComplEx
+    cnt = jnp.maximum(jnp.sum(qmask), 1.0)
+    bce_ref[0, 0] = jnp.sum(jax.nn.softplus(-tgt_t) * qmask) / cnt
+    rh_ref[...] = rh
+    rt_ref[...] = rt
+
+
+def fused_eval_supported(cfg, base: str, N: int, E: int, Q: int) -> bool:
+    """Envelope for the fused eval kernel: the _Final encoder's scope
+    (plain GRRGCN final step) + ComplEx scoring + VMEM bounds."""
+    Np = _round_up(max(N, 1), _LANE)
+    Ep = _round_up(max(E, 1), _LANE)
+    Qp = _round_up(max(Q, 1), _LANE)
+    return (_HAS_PLTPU
+            and base == "GRRGCN"
+            and not cfg.rec_only_last_layer
+            and not cfg.type1
+            and cfg.num_layers == 1
+            and not cfg.learnable_lambda
+            and not cfg.use_time_embedding
+            and cfg.n_bases == cfg.embed_size == cfg.hidden_size
+            and cfg.embed_size % 2 == 0
+            and cfg.score_function == "complex"
+            and not cfg.impute
+            and Ep * Np <= (1 << 23)
+            and Qp * Np <= (1 << 22))
+
+
+def fused_eval_ranks(params, cfg, lc2, data, hist1, hist2, last_pos,
+                     src, dst, rel, emask_full, qsrc, qdst, qrel, qmask,
+                     t_pos):
+    """Fused filtered eval for one batch element.
+
+    Mirrors models/dynamic.py forward_element (final snapshot, train=False)
+    + models/objectives.eval_ranks_single. Returns (ranks [2*Qp], mask
+    [2*Qp], bce) with the reference's [head-ranks, tail-ranks] layout
+    (utils/evaluation.py:48).
+    """
+    interpret = jax.default_backend() != "tpu"
+    N = hist1.shape[0]
+    d = cfg.embed_size
+    E = src.shape[0]
+    Q = qsrc.shape[0]
+    Np = _round_up(N, _LANE)
+    Ep = _round_up(E, _LANE)
+    Qp = _round_up(Q, _LANE)
+    r2 = 2 * data.num_rels
+
+    enc = params["encoder"]
+    p1, p2 = enc["layer1"], enc["layer2"]
+    g1, g2 = p1["gru"][0], p2["gru"][0]
+    R2 = p1["weight"].shape[0]
+    Rp = _round_up(max(R2, r2), _LANE)
+    wrel = jnp.pad(jnp.concatenate(
+        [p1["weight"], p2["weight"]], axis=1), ((0, Rp - R2), (0, 0)))
+    rtab = jnp.pad(params["rel_embeds"], ((0, Rp - r2), (0, 0)))
+
+    pn = ((0, Np - N), (0, 0))
+    h0p = jnp.pad(params["ent_embeds"], pn)
+    h1p = jnp.pad(hist1.astype(jnp.float32), pn)
+    h2p = jnp.pad(hist2.astype(jnp.float32), pn)
+    # eval window length == train length for recurrent models
+    # (models/DynamicRGCN.py:18)
+    dtp = jnp.pad(((cfg.train_seq_len - 1) - last_pos).astype(jnp.float32),
+                  (0, Np - N))[:, None]
+    actp = jnp.pad(data.active[t_pos].astype(jnp.float32),
+                   (0, Np - N))[:, None]
+
+    pe = ((0, Ep - E), (0, 0))
+    src2 = jnp.pad(src.astype(jnp.int32)[:, None], pe,
+                   constant_values=Np - 1)
+    dst2 = jnp.pad(dst.astype(jnp.int32)[:, None], pe,
+                   constant_values=Np - 1)
+    rel2 = jnp.pad(rel.astype(jnp.int32)[:, None], pe)
+    emf = jnp.pad(emask_full.astype(jnp.float32)[:, None], pe)
+
+    pq = ((0, Qp - Q), (0, 0))
+    qs2 = jnp.pad(qsrc.astype(jnp.int32)[:, None], pq,
+                  constant_values=Np - 1)
+    qd2 = jnp.pad(qdst.astype(jnp.int32)[:, None], pq,
+                  constant_values=Np - 1)
+    qr2 = jnp.pad(qrel.astype(jnp.int32)[:, None], pq)
+    qm2 = jnp.pad(qmask.astype(jnp.float32)[:, None], pq)
+
+    tt, th = data.total_tail, data.total_head
+    F = tt.grp.shape[1]
+    Fp = _round_up(F, _LANE)
+    pad_row = lambda x: jnp.pad(x.astype(jnp.int32)[None, :],
+                                ((0, 0), (0, Fp - F)), constant_values=-1)
+    pad_col = lambda x: jnp.pad(x.astype(jnp.int32)[:, None],
+                                ((0, Fp - F), (0, 0)), constant_values=-1)
+    tgrp = pad_row(tt.grp[t_pos])
+    tval = pad_col(tt.val[t_pos])
+    hgrp = pad_row(th.grp[t_pos])
+    hval = pad_col(th.val[t_pos])
+
+    m1x = m2x = jnp.zeros((1, 1), jnp.float32)  # eval: no dropout
+
+    hot = cfg.hot_dtype
+    dtype_str = None if hot is None else jnp.dtype(hot).name
+    act2 = lc2.activation == "relu"
+    kern = functools.partial(
+        _eval_kernel, Np=Np, N=N, Ep=Ep, Qp=Qp, d=d, Rp=Rp, F=Fp,
+        act2=act2, lam=float(cfg.inv_temperature),
+        use_noact=bool(cfg.use_embed_for_non_active), r2=r2,
+        dtype_str=dtype_str)
+    out_shape = (
+        jax.ShapeDtypeStruct((Qp, 1), jnp.float32),   # ranks_head
+        jax.ShapeDtypeStruct((Qp, 1), jnp.float32),   # ranks_tail
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # bce
+    )
+    rh, rt, bce = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=_vmem_specs(interpret, _N_IN + 3),
+        out_specs=tuple(_specs_smem(interpret, 3, smem_idx=(2,))),
+        compiler_params=_compiler_params(interpret, limit_mb=120),
+        interpret=interpret,
+    )(h0p, h1p, h2p, src2, dst2, rel2, emf, qm2, actp, dtp,
+      tgrp, tval, hgrp, hval, m1x, m2x,
+      wrel, p1["loop_weight"], p2["loop_weight"],
+      g1["w_ih"].T, g1["w_hh"].T, g2["w_ih"].T, g2["w_hh"].T,
+      g1["b_ih"][None, :], g1["b_hh"][None, :],
+      g2["b_ih"][None, :], g2["b_hh"][None, :], rtab,
+      qs2, qd2, qr2)
+    ranks = jnp.concatenate([rh[:, 0], rt[:, 0]]).astype(jnp.int32)
+    mask = jnp.concatenate([qm2[:, 0] > 0, qm2[:, 0] > 0])
+    return ranks, mask, bce[0, 0]
+
+
 def fused_final_supported(cfg, base: str, N: int, E: int) -> bool:
     """Envelope check (see module docstring); XLA path otherwise."""
     Np = _round_up(max(N, 1), _LANE)

@@ -105,3 +105,44 @@ def test_fallback_outside_envelope(data):
     params = model.init_params(jax.random.PRNGKey(0))
     loss = model.loss(params, data, T_POS, T_VALID, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_fused_eval_ranks_identical(data):
+    """The fused eval kernel (ops/fused_final._eval_kernel) returns EXACTLY
+    the XLA path's filtered ranks, masks, and bce (f32 interpret mode)."""
+    ref_cfg, fused_cfg = cfg_pair()
+    fused_cfg = fused_cfg.replace(fused_eval=True)
+    ref_model = get_model(ref_cfg, data)
+    params = ref_model.init_params(jax.random.PRNGKey(0))
+    fused_model = get_model(fused_cfg, data)
+
+    for split in ("valid", "test"):
+        r_ranks, r_mask, r_bce = jax.jit(
+            lambda p, tp, tv: ref_model.eval_ranks(p, data, tp, tv, split)
+        )(params, T_POS, T_VALID)
+        f_ranks, f_mask, f_bce = jax.jit(
+            lambda p, tp, tv: fused_model.eval_ranks(p, data, tp, tv, split)
+        )(params, T_POS, T_VALID)
+        rm, fm = np.asarray(r_mask), np.asarray(f_mask)
+        # padded widths may differ (Qp lane rounding); compare real queries
+        assert rm.sum() == fm.sum()
+        np.testing.assert_array_equal(np.asarray(f_ranks)[fm],
+                                      np.asarray(r_ranks)[rm])
+        np.testing.assert_allclose(float(f_bce), float(r_bce), rtol=1e-5)
+
+
+def test_fused_eval_fallback_flagship(data):
+    """BiGRRGCN --impute (outside the _Final encoder envelope) silently uses
+    the XLA eval path and still evaluates."""
+    cfg = TKGConfig(module="BiGRRGCN", impute=True, embed_size=16,
+                    hidden_size=16, n_bases=16, train_seq_len=3, batch_size=3,
+                    negative_rate=8, neg_oversample=8, num_pos_facts=64,
+                    fused_final=True, fused_eval=True, fused_window=False)
+    model = get_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ranks, mask, bce = jax.jit(
+        lambda p, tp, tv: model.eval_ranks(p, data, tp, tv, "valid")
+    )(params, T_POS, T_VALID)
+    assert np.isfinite(float(bce))
+    r = np.asarray(ranks)[np.asarray(mask)]
+    assert len(r) > 0 and (r >= 1).all()

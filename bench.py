@@ -84,9 +84,11 @@ def main():
     # -- eval throughput (VERDICT r2 weak-item 6; r3 item 8): the other hot
     # loop — the fused full-valid filtered-rank sweep ([Q, N] scoring both
     # directions, reference utils/evaluation.py:53-106). queries = 2 * valid
-    # quads. Scheduled at the wider eval batch (TKGConfig.eval_batch): eval
-    # elements are independent, so batching them 4x amortizes the
-    # sequential scan steps with identical ranks.
+    # quads. Scheduled at TKGConfig.eval_batch, which DEFAULTS to the
+    # training batch: a 4x-wide schedule was A/B'd and measured SLOWER
+    # (92k -> 73k queries/s; the sweep is work-bound — docs/PERF.md), so
+    # unless the config overrides eval_batch_size this schedule is identical
+    # to the training one.
     etp, etv = trainer._stack_batches(data.num_times, cfg.eval_batch, None)
     etp, etv = jnp.asarray(etp), jnp.asarray(etv)
     ranks, mask, _ = trainer.eval_epoch(params, trainer.data, etp, etv,
@@ -150,13 +152,16 @@ def main():
         ucfg = cfg.replace(fused_window=False, fused_final=False)
         umodel = get_model(ucfg, data)
         utrainer = Trainer(ucfg, umodel, data, run_dir="/tmp/temp_tpu_bench_u")
-        uparams, uopt = utrainer.init_state()
+        # lower against ABSTRACT state: this block only needs shapes, and a
+        # third live copy of params+Adam state could OOM a tight chip (the
+        # except below would then silently drop every roofline field)
+        ustate_shape = jax.eval_shape(utrainer.init_state)
 
         def uepoch(p, o, i):
             return utrainer.train_epoch(p, o, utrainer.data, t_pos_all,
                                         t_valid_all, jax.random.PRNGKey(i))
 
-        lowered = jax.jit(uepoch).lower(uparams, uopt, 0)
+        lowered = jax.jit(uepoch).lower(*ustate_shape, 0)
         ca = lowered.compile().cost_analysis()
         flops = float(ca.get("flops", 0.0))
         bytes_hbm = float(ca.get("bytes accessed", 0.0))

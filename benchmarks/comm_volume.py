@@ -74,6 +74,8 @@ def analyze(data, m: int, d: int = 128, itemsize: int = 4):
     row["ring_vs_psum"] = round(row["ring_mb"] / row["psum_mb"], 3)
     row["boundary_vs_psum"] = round(row["boundary_mb"] / row["psum_mb"], 4)
     row.update(measured(data, m, d=d, itemsize=itemsize))
+    row["measured_wire_vs_psum"] = round(
+        row["measured_wire_mb"] / row["psum_mb"], 4)
     return row
 
 
@@ -91,9 +93,11 @@ def measured(data, m: int, d: int = 128, itemsize: int = 4):
     from temp_tpu.parallel.edge_partition import (
         boundary_tables, ring_regroup_data)
 
-    if getattr(data, "bnd_g", None) is None:
+    if getattr(data, "bnd_g", None) is None or \
+            np.asarray(data.bnd_g).shape[1] != m:
         # boundary_tables assumes the dst-owner-grouped layout; raw data's
-        # pads can coincidentally divide m, so always regroup here
+        # pads can coincidentally divide m, so always regroup here. Attached
+        # tables are only trusted when built for THIS m (analyze() sweeps m)
         data = ring_regroup_data(data, m)
         bnd_c, bnd_g = boundary_tables(data, m)
     else:
@@ -108,10 +112,8 @@ def measured(data, m: int, d: int = 128, itemsize: int = 4):
         out[f"measured_useful_{name}_mb"] = float(
             2 * real.sum(axis=(1, 2)).mean() / m * d * itemsize / 1e6)
     out["measured_wire_mb"] = out["measured_wire_c_mb"]  # history steps dominate
-    out["measured_wire_vs_psum"] = round(
-        out["measured_wire_mb"] / (2 * (m - 1) / m
-                                   * (data.num_ents * d + data.num_ents)
-                                   * itemsize / 1e6), 4)
+    # the /psum ratio is attached by analyze() from its own psum_mb row so
+    # the two never diverge
     return out
 
 

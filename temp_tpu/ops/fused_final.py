@@ -586,9 +586,17 @@ def _eval_kernel(*refs, Np, N, Ep, Qp, d, Rp, F, act2, lam, use_noact, r2,
         bad = jnp.logical_and(jnp.logical_or(counts > 0.5, cols >= N),
                               jnp.logical_not(keep_target))
         masked = jnp.where(bad, -1.0e7, sc_all)            # ops/ranking.NEG_INF
-        tgt = jnp.sum(qhat * pos_rows, axis=1, keepdims=True)
-        rank = jnp.sum((masked > tgt).astype(jnp.float32), axis=1,
+        # the rank comparison's target score is extracted from the SAME
+        # sc_all row (like ops/ranking.py:38), not recomputed elementwise —
+        # a different f32 reduction order could diverge by 1 ulp on TPU and
+        # make the target count against itself
+        tgt_rank = jnp.sum(jnp.where(keep_target, sc_all, 0.0), axis=1,
+                           keepdims=True)
+        rank = jnp.sum((masked > tgt_rank).astype(jnp.float32), axis=1,
                        keepdims=True) + 1.0
+        # the BCE positive score is the decoder's own elementwise form
+        # (score_single, objectives.py:223) — allclose, not bit-equal
+        tgt = jnp.sum(qhat * pos_rows, axis=1, keepdims=True)
         return rank, tgt
 
     qhat_t = _qhat_tail(s_rows, remb, d2)

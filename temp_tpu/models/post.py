@@ -391,6 +391,61 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
             rec = rec + temb2
         return loc, rec
 
+    def loss(self, params, data: TKGData, t_pos, t_valid, rng):
+        """Impute-only fast path: fused bi+impute final-step kernel
+        (ops/fused_final_bi.py) when the config is inside its envelope;
+        otherwise the shared gated/XLA paths."""
+        cfg = self.cfg
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.ops.fused_final_bi import (
+            fused_final_bi_loss, fused_final_bi_supported,
+        )
+        from temp_tpu.parallel.mesh import manual_axis
+        use_ff = (cfg.fused_final_on and manual_axis() is None
+                  and type(self) is PostBiDynamicRGCNModel
+                  and not cfg.use_time_embedding
+                  and fused_final_bi_supported(
+                      cfg, _base_module(cfg.module), self.num_ents,
+                      data.train.src.shape[1]))
+        if not use_ff:
+            return super().loss(params, data, t_pos, t_valid, rng)
+
+        B = t_pos.shape[0]
+        rngs = jax.random.split(rng, B)
+        length = self.train_len
+
+        def one(tp, tv, r):
+            # key derivation mirrors DynamicRGCN.loss -> Post.forward_element
+            # -> forward_tables + train_loss_single exactly, so fused and XLA
+            # paths draw identical dropout masks, edge subsamples, and
+            # positive subsets
+            r_fwd, r_loss = jax.random.split(r)
+            k_f, k_b, k_fin, k_sub = jax.random.split(r_fwd, 4)
+            k_pos = jax.random.split(r_loss, 3)[0]
+            win_f = gather_window(data, tp, length, backward=False)
+            win_b = gather_window(data, tp, length, backward=True)
+            rates_f = (self.drop_past[tp]
+                       if self.drop_past is not None else None)
+            rates_b = (self.drop_future[tp]
+                       if self.drop_future is not None else None)
+            h1f, h2f, hlocf, lpf = self.pre_forward_loc(
+                params, win_f, length, True, k_f, tp, direction="fwd",
+                drop_rates=rates_f)
+            h1b, h2b, hlocb, lpb = self.pre_forward_loc(
+                params, win_b, length, True, k_b, tp, direction="bwd",
+                drop_rates=rates_b)
+            emask_full = win_f.emask[length - 1]
+            emask_enc = subsample_edges(k_sub, emask_full, 0.5)
+            loss = fused_final_bi_loss(
+                params, cfg, self.lc2, data,
+                h1f, h2f, hlocf, lpf, h1b, h2b, hlocb, lpb,
+                win_f.src[length - 1], win_f.dst[length - 1],
+                win_f.rel[length - 1], emask_enc, emask_full, tp,
+                k_fin, k_pos, True)
+            return loss * tv.astype(loss.dtype)
+
+        return jnp.sum(jax.vmap(one)(t_pos, t_valid, rngs))
+
     def forward_tables(self, params, data: TKGData, t_pos, train: bool, rng):
         cfg = self.cfg
         length = self.train_len if train else self.eval_len

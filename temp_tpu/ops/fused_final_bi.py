@@ -1,0 +1,623 @@
+"""Fused Pallas kernel for the FLAGSHIP final step: bidirectional center
+fusion + imputation + exact-softmax loss (BiGRRGCN --impute).
+
+ops/fused_final.py covers the plain unidirectional GRRGCN final step; the
+headline-quality model (BiGRRGCN --impute, reference
+models/PostBiDynamicRGCN.py + models/BiRRGCN.py:259-338) still ran its
+final-snapshot chain in XLA: dense conv1 + two layer-1 GRUs (fwd/bwd
+windows), conv2 + impute blending on inactive rows + two layer-2 GRUs,
+then the exact-softmax tail+head CE. Per docs/PERF.md that chain was
+0.414 s of the 0.976 s flagship epoch — the same dispatch-latency failure
+mode the unidirectional kernel fixed (fused final bought 0.35 -> 0.23 s
+there).
+
+This kernel runs the whole bi+impute chain for one batch element as ONE
+VMEM-resident Pallas program. Structure mirrors ops/fused_final.py:
+- forward kernel (`_fwd_kernel_bi`) producing (loss, table, out1);
+- the LOSS-side backward reuses fused_final._bwd_loss_kernel unchanged
+  (it only sees the saved table);
+- a per-layer backward kernel (`_bwd_layer_bi_kernel`) generalizing
+  fused_final._bwd_layer_kernel to two GRUs per layer plus the impute
+  blend (layer 2 only), recomputing activations from the saved inputs.
+
+Semantics replicated exactly (parity: tests/test_fused_final_bi.py):
+- center fusion: rec = GRU_fwd(x, h_f * decay_f) + GRU_bwd(x, h_b * decay_b)
+  per layer (reference models/BiRRGCN.py:27-47, 259-338);
+- impute blending on INACTIVE rows only, with the blend feeding the GRU
+  (forward_isolated_impute, models/BiRRGCN.py:300-338):
+      w_dir = exp(-max(impute_w_dir * dt + impute_b_dir, 0)) / 2
+      blended = w_f * hloc_f + w_b * hloc_b + (1 - w_f - w_b) * conv2
+- dropout masks / edge subsample / positive subset drawn with the same
+  key splits and shapes as the XLA path (models/post.py forward_tables +
+  models/objectives.py train_loss_single), so f32 losses and gradients
+  agree to float tolerance.
+
+Scope (see fused_final_bi_supported): BiGRRGCN base, impute on, no
+post-aggregation/post-ensemble gates (those train on BOTH tables through
+frequency MLPs — a different loss), diagonal relations, fixed decay,
+no bias/time-embedding, ComplEx, negative_pool="all".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from temp_tpu.ops.fused_final import (
+    _Final, _bwd_loss_kernel, _qhat_head, _qhat_tail, _specs_smem,
+)
+from temp_tpu.ops.fused_window import (
+    _HAS_PLTPU, _LANE, _cdt, _compiler_params, _dot, _dot_c0, _dot_c1,
+    _gru, _onehot, _prec, _round_up, _vmem_specs, _zero_ct,
+)
+
+_N_IN_BI = 42  # kernel input refs, see _FinalBi unpack order
+
+
+def _gru_bwd_dir(d_out, x, h0g, r, z, n, ghn, wih, whh, cdt, prec):
+    """Backward through one torch-semantics GRU cell given the forward's
+    saved gate values (mirrors the inline block in
+    fused_final._bwd_layer_kernel:382-400)."""
+    d_z = d_out * (h0g - n)
+    d_n = d_out * (1.0 - z)
+    d_h0g = d_out * z
+    d_pre_n = d_n * (1.0 - n * n)
+    d_ghn = d_pre_n * r
+    d_r = d_pre_n * ghn
+    d_pre_r = d_r * r * (1.0 - r)
+    d_pre_z = d_z * z * (1.0 - z)
+    d_gi = jnp.concatenate([d_pre_r, d_pre_z, d_pre_n], axis=1)
+    d_gh = jnp.concatenate([d_pre_r, d_pre_z, d_ghn], axis=1)
+    d_x = _dot_c1(d_gi.astype(cdt), wih.astype(cdt), prec)
+    d_h0g = d_h0g + _dot_c1(d_gh.astype(cdt), whh.astype(cdt), prec)
+    dwih = _dot_c0(x.astype(cdt), d_gi.astype(cdt), prec)
+    dwhh = _dot_c0(h0g.astype(cdt), d_gh.astype(cdt), prec)
+    dbih = jnp.sum(d_gi, axis=0, keepdims=True)
+    dbhh = jnp.sum(d_gh, axis=0, keepdims=True)
+    return d_x, d_h0g, dwih, dwhh, dbih, dbhh
+
+
+class _FinalBi(_Final):
+    """Forward recompute for the bi+impute dense final step.
+
+    Inherits _Final's loss_side/direction/_gather_rows (they only consume
+    the fields set here: ohs/ohd/ohr, srcc/dstc/relc, table, rtab, …).
+    """
+
+    def __init__(self, ins, *, Np, N, Ep, d, Rp, F, rate, act2, lam,
+                 train, use_noact, r2, dtype_str):
+        (self.h0, self.h1f, self.h2f, self.hlf,
+         self.h1b, self.h2b, self.hlb,
+         self.srcc, self.dstc, self.relc, self.emf, self.posm,
+         self.act, self.dtf, self.dtb,
+         self.tgrp, self.tval, self.hgrp, self.hval, self.m1x, self.m2x,
+         self.wrel, self.loop1, self.loop2,
+         self.wih1f, self.whh1f, self.wih1b, self.whh1b,
+         self.wih2f, self.whh2f, self.wih2b, self.whh2b,
+         self.bih1f, self.bhh1f, self.bih1b, self.bhh1b,
+         self.bih2f, self.bhh2f, self.bih2b, self.bhh2b,
+         self.rtab, self.imp) = ins
+        self.Np, self.N, self.Ep, self.d, self.Rp, self.F = Np, N, Ep, d, Rp, F
+        self.rate, self.act2, self.lam = rate, act2, lam
+        self.train, self.use_noact, self.r2 = train, use_noact, r2
+        self.cdt = _cdt(dtype_str)
+        self.prec = _prec(dtype_str)
+        self.use_drop = train and rate > 0.0
+
+    def encoder(self):
+        Np, d, cdt, prec = self.Np, self.d, self.cdt, self.prec
+        hi = jax.lax.Precision.HIGHEST
+        h0 = self.h0[...].astype(jnp.float32)            # [Np, d]
+        srcc, dstc, relc = self.srcc[...], self.dstc[...], self.relc[...]
+        emc = self.emf[...]                              # [Ep, 1]
+
+        self.ohs = _onehot(srcc, Np, cdt)                # [Ep, Np]
+        self.ohd = _onehot(dstc, Np, cdt)
+        ohd32 = self.ohd.astype(jnp.float32)
+        deg = _dot_c0(ohd32, emc, hi)                    # [Np, 1]
+        self.norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+        nd = _dot(ohd32, self.norm, hi)                  # [Ep, 1]
+        self.escale = nd * emc
+
+        self.ohr = _onehot(relc, self.Rp, cdt)           # [Ep, Rp]
+        wsel = _dot(self.ohr, self.wrel[...].astype(cdt), prec)
+        self.w1, self.w2 = wsel[:, :d], wsel[:, d:]
+
+        dtf, dtb = self.dtf[...], self.dtb[...]          # [Np, 1]
+        self.decf = jnp.exp(-self.lam * dtf)
+        self.decb = jnp.exp(-self.lam * dtb)
+        m1 = self.m1x[...].astype(jnp.float32) if self.use_drop else None
+        m2 = self.m2x[...].astype(jnp.float32) if self.use_drop else None
+
+        # layer 1: conv + fwd/bwd GRUs summed (BiRRGCN.py:27-47)
+        self.hsrc1 = _dot(self.ohs, h0.astype(cdt), prec)      # [Ep, d]
+        msg1 = self.hsrc1 * self.w1 * self.escale
+        agg1 = _dot_c0(self.ohd, msg1.astype(cdt), prec)
+        lp1 = _dot(h0.astype(cdt), self.loop1[...].astype(cdt), prec)
+        if m1 is not None:
+            lp1 = lp1 * m1
+        self.conv1 = agg1 * self.norm + lp1
+        self.h0g1f = self.h1f[...].astype(jnp.float32) * self.decf
+        self.h0g1b = self.h1b[...].astype(jnp.float32) * self.decb
+        o1f, self.r1f, self.z1f, self.n1f, self.ghn1f = _gru(
+            self.conv1, self.h0g1f, self.wih1f[...], self.whh1f[...],
+            self.bih1f[...], self.bhh1f[...], d, cdt, prec)
+        o1b, self.r1b, self.z1b, self.n1b, self.ghn1b = _gru(
+            self.conv1, self.h0g1b, self.wih1b[...], self.whh1b[...],
+            self.bih1b[...], self.bhh1b[...], d, cdt, prec)
+        self.out1 = o1f + o1b
+
+        # layer 2: conv (+ReLU), impute blend on inactive rows, fwd/bwd GRUs
+        self.hsrc2 = _dot(self.ohs, self.out1.astype(cdt), prec)
+        msg2 = self.hsrc2 * self.w2 * self.escale
+        agg2 = _dot_c0(self.ohd, msg2.astype(cdt), prec)
+        lp2 = _dot(self.out1.astype(cdt), self.loop2[...].astype(cdt), prec)
+        if m2 is not None:
+            lp2 = lp2 * m2
+        self.conv2_pre = agg2 * self.norm + lp2
+        self.conv2 = (jnp.maximum(self.conv2_pre, 0.0) if self.act2
+                      else self.conv2_pre)
+
+        # impute weights: exp(-max(w*dt + b, 0))/2 per direction
+        # (calc_impute_weight, reference BiRRGCN.py:311-313)
+        iwf, ibf = self.imp[0, 0], self.imp[0, 1]
+        iwb, ibb = self.imp[0, 2], self.imp[0, 3]
+        self.af = iwf * dtf + ibf                        # [Np, 1]
+        self.ab = iwb * dtb + ibb
+        self.wf = jnp.exp(-jnp.maximum(self.af, 0.0)) * 0.5
+        self.wb = jnp.exp(-jnp.maximum(self.ab, 0.0)) * 0.5
+        hlf = self.hlf[...].astype(jnp.float32)
+        hlb = self.hlb[...].astype(jnp.float32)
+        blended = (self.wf * hlf + self.wb * hlb
+                   + (1.0 - self.wf - self.wb) * self.conv2)
+        activ = self.act[...] > 0                        # [Np, 1]
+        self.gin = jnp.where(activ, self.conv2, blended)
+
+        self.h0g2f = self.h2f[...].astype(jnp.float32) * self.decf
+        self.h0g2b = self.h2b[...].astype(jnp.float32) * self.decb
+        o2f, self.r2f, self.z2f, self.n2f, self.ghn2f = _gru(
+            self.gin, self.h0g2f, self.wih2f[...], self.whh2f[...],
+            self.bih2f[...], self.bhh2f[...], d, cdt, prec)
+        o2b, self.r2b, self.z2b, self.n2b, self.ghn2b = _gru(
+            self.gin, self.h0g2b, self.wih2b[...], self.whh2b[...],
+            self.bih2b[...], self.bhh2b[...], d, cdt, prec)
+        self.out2 = o2f + o2b
+
+        if self.use_noact:
+            self.table = jnp.where(activ, self.out2, h0)
+        else:
+            self.table = self.out2
+        self.h0v = h0
+
+
+def _fwd_kernel_bi(*refs, Np, N, Ep, d, Rp, F, rate, act2, lam, train,
+                   use_noact, r2, dtype_str):
+    ins, (loss_ref, table_ref, out1_ref) = refs[:_N_IN_BI], refs[_N_IN_BI:]
+    st = _FinalBi(ins, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, rate=rate,
+                  act2=act2, lam=lam, train=train, use_noact=use_noact,
+                  r2=r2, dtype_str=dtype_str)
+    st.encoder()
+    st.loss_side()
+
+    qhat_t = _qhat_tail(st.s_rows, st.remb, d // 2)
+    ce_t, _, _, _ = st.direction(qhat_t, st.o_rows, st.qg_tail,
+                                 st.tgrp, st.tval)
+    qhat_h = _qhat_head(st.o_rows, st.remb, d // 2)
+    ce_h, _, _, _ = st.direction(qhat_h, st.s_rows, st.qg_head,
+                                 st.hgrp, st.hval)
+
+    pm = st.posm[...]
+    cnt = jnp.maximum(jnp.sum(pm), 1.0)
+    loss_ref[0, 0] = (jnp.sum(ce_t * pm) + jnp.sum(ce_h * pm)) / cnt
+    table_ref[...] = st.table.astype(table_ref.dtype)
+    out1_ref[...] = st.out1.astype(out1_ref.dtype)
+
+
+def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
+                         impute, dtype_str):
+    """Backward through ONE bi layer (conv [+impute blend] + two GRUs).
+
+    Layer 2 runs with impute=True/act=True (ReLU before the blend,
+    BiRRGCN.py:300-338); layer 1 with impute=False/act=False (its hloc/
+    act/imp refs are (1, 1) dummies). Split per layer like
+    fused_final._bwd_layer_kernel so each program's live set fits VMEM.
+    """
+    (hin_ref, prevf_ref, prevb_ref, hlf_ref, hlb_ref, act_ref,
+     dtf_ref, dtb_ref, srcc_ref, dstc_ref, relc_ref, emf_ref, mx_ref,
+     wrel_ref, loop_ref,
+     wihf_ref, whhf_ref, bihf_ref, bhhf_ref,
+     wihb_ref, whhb_ref, bihb_ref, bhhb_ref,
+     imp_ref, dout_ref) = refs[:25]
+    (d_h_out, d_prevf_out, d_prevb_out, d_hlf_out, d_hlb_out, d_imp_out,
+     dwrel_l, dloop,
+     dwihf, dwhhf, dbihf, dbhhf, dwihb, dwhhb, dbihb, dbhhb) = refs[25:]
+    cdt = _cdt(dtype_str)
+    prec = _prec(dtype_str)
+    hi = jax.lax.Precision.HIGHEST
+    use_drop = train and rate > 0.0
+
+    # recompute the layer forward (mirrors _FinalBi.encoder per layer)
+    h = hin_ref[...].astype(jnp.float32)                 # [Np, d]
+    emc = emf_ref[...]
+    ohs = _onehot(srcc_ref[...], Np, cdt)
+    ohd = _onehot(dstc_ref[...], Np, cdt)
+    ohd32 = ohd.astype(jnp.float32)
+    deg = _dot_c0(ohd32, emc, hi)
+    norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+    escale = _dot(ohd32, norm, hi) * emc
+    ohr = _onehot(relc_ref[...], Rp, cdt)
+    wv = _dot(ohr, wrel_ref[...].astype(cdt), prec)      # [Ep, d]
+
+    hsrc = _dot(ohs, h.astype(cdt), prec)
+    msg = hsrc * wv * escale
+    agg = _dot_c0(ohd, msg.astype(cdt), prec)
+    lp = _dot(h.astype(cdt), loop_ref[...].astype(cdt), prec)
+    mx = mx_ref[...].astype(jnp.float32) if use_drop else None
+    if mx is not None:
+        lp = lp * mx
+    conv_pre = agg * norm + lp
+    conv = jnp.maximum(conv_pre, 0.0) if act else conv_pre
+
+    dtf, dtb = dtf_ref[...], dtb_ref[...]
+    decf = jnp.exp(-lam * dtf)
+    decb = jnp.exp(-lam * dtb)
+    h0gf = prevf_ref[...].astype(jnp.float32) * decf
+    h0gb = prevb_ref[...].astype(jnp.float32) * decb
+
+    if impute:
+        iwf, ibf = imp_ref[0, 0], imp_ref[0, 1]
+        iwb, ibb = imp_ref[0, 2], imp_ref[0, 3]
+        af = iwf * dtf + ibf
+        ab = iwb * dtb + ibb
+        wf = jnp.exp(-jnp.maximum(af, 0.0)) * 0.5
+        wb = jnp.exp(-jnp.maximum(ab, 0.0)) * 0.5
+        hlf = hlf_ref[...].astype(jnp.float32)
+        hlb = hlb_ref[...].astype(jnp.float32)
+        blended = wf * hlf + wb * hlb + (1.0 - wf - wb) * conv
+        activ = act_ref[...] > 0
+        gin = jnp.where(activ, conv, blended)
+    else:
+        gin = conv
+
+    _, rf, zf, nf, ghnf = _gru(gin, h0gf, wihf_ref[...], whhf_ref[...],
+                               bihf_ref[...], bhhf_ref[...], d, cdt, prec)
+    _, rb, zb, nb, ghnb = _gru(gin, h0gb, wihb_ref[...], whhb_ref[...],
+                               bihb_ref[...], bhhb_ref[...], d, cdt, prec)
+
+    # both GRUs receive the same cotangent (rec = rec_f + rec_b) and the
+    # same input gin
+    d_out = dout_ref[...]
+    d_gin_f, d_h0gf, dwf_ih, dwf_hh, dbf_ih, dbf_hh = _gru_bwd_dir(
+        d_out, gin, h0gf, rf, zf, nf, ghnf, wihf_ref[...], whhf_ref[...],
+        cdt, prec)
+    d_gin_b, d_h0gb, dwb_ih, dwb_hh, dbb_ih, dbb_hh = _gru_bwd_dir(
+        d_out, gin, h0gb, rb, zb, nb, ghnb, wihb_ref[...], whhb_ref[...],
+        cdt, prec)
+    dwihf[...] = dwf_ih
+    dwhhf[...] = dwf_hh
+    dbihf[...] = dbf_ih
+    dbhhf[...] = dbf_hh
+    dwihb[...] = dwb_ih
+    dwhhb[...] = dwb_hh
+    dbihb[...] = dbb_ih
+    dbhhb[...] = dbb_hh
+    d_gin = d_gin_f + d_gin_b
+    d_prevf_out[...] = d_h0gf * decf
+    d_prevb_out[...] = d_h0gb * decb
+
+    if impute:
+        # gin = where(active, conv, blended)
+        d_blend = jnp.where(activ, 0.0, d_gin)
+        d_conv = jnp.where(activ, d_gin, (1.0 - wf - wb) * d_gin)
+        d_hlf_out[...] = wf * d_blend
+        d_hlb_out[...] = wb * d_blend
+        # w_dir = exp(-max(a, 0))/2 -> dw/da = -w * (a > 0)
+        d_wf_row = jnp.sum(d_blend * (hlf - conv), axis=1, keepdims=True)
+        d_wb_row = jnp.sum(d_blend * (hlb - conv), axis=1, keepdims=True)
+        d_af = -wf * (af > 0).astype(jnp.float32) * d_wf_row
+        d_ab = -wb * (ab > 0).astype(jnp.float32) * d_wb_row
+        d_imp_out[...] = jnp.concatenate(
+            [jnp.sum(d_af * dtf, keepdims=True).reshape(1, 1),
+             jnp.sum(d_af, keepdims=True).reshape(1, 1),
+             jnp.sum(d_ab * dtb, keepdims=True).reshape(1, 1),
+             jnp.sum(d_ab, keepdims=True).reshape(1, 1)], axis=1)
+    else:
+        d_conv = d_gin
+        d_hlf_out[...] = jnp.zeros(d_hlf_out.shape, d_hlf_out.dtype)
+        d_hlb_out[...] = jnp.zeros(d_hlb_out.shape, d_hlb_out.dtype)
+        d_imp_out[...] = jnp.zeros(d_imp_out.shape, d_imp_out.dtype)
+    if act:
+        d_conv = d_conv * (conv_pre > 0.0).astype(jnp.float32)
+
+    # conv backward: spmm + dropped self-loop (as _bwd_layer_kernel:404-414)
+    d_agg = d_conv * norm
+    d_msg = _dot(ohd, d_agg.astype(cdt), prec)
+    d_hsrc = d_msg * wv * escale
+    d_wsel = d_msg * hsrc * escale
+    d_h = _dot_c0(ohs, d_hsrc.astype(cdt), prec)
+    dwrel_l[...] = _dot_c0(ohr, d_wsel.astype(cdt), prec)
+    d_lp = d_conv if mx is None else d_conv * mx
+    d_h = d_h + _dot_c1(d_lp.astype(cdt), loop_ref[...].astype(cdt), prec)
+    dloop[...] = _dot_c0(h.astype(cdt), d_lp.astype(cdt), prec)
+    d_h_out[...] = d_h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_final_bi(static, *args):
+    out, _ = _fused_final_bi_fwd(static, *args)
+    return out
+
+
+def _call_fwd_bi(static, args):
+    (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
+     dtype_str, store_dt_str, interpret) = static
+    kern = functools.partial(
+        _fwd_kernel_bi, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, rate=rate,
+        act2=act2, lam=lam, train=train, use_noact=use_noact, r2=r2,
+        dtype_str=dtype_str)
+    out_shape = (
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, d), jnp.dtype(store_dt_str)),  # table
+        jax.ShapeDtypeStruct((Np, d), jnp.dtype(store_dt_str)),  # out1
+    )
+    # imp [1, 4] rides SMEM (scalar reads); everything else VMEM
+    return pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=_specs_smem(interpret, _N_IN_BI, smem_idx=(41,)),
+        out_specs=tuple(_specs_smem(interpret, 3, smem_idx=(0,))),
+        compiler_params=_compiler_params(interpret, limit_mb=120),
+        interpret=interpret,
+    )(*args)
+
+
+def _fused_final_bi_fwd(static, *args):
+    loss, table, out1 = _call_fwd_bi(static, args)
+    return loss[0, 0], args + (table, out1)
+
+
+def _fused_final_bi_bwd(static, res, g):
+    (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
+     dtype_str, store_dt_str, interpret) = static
+    ins, table, out1 = res[:_N_IN_BI], res[_N_IN_BI], res[_N_IN_BI + 1]
+    f32 = jnp.float32
+    g_arr = jnp.asarray(g, jnp.float32).reshape(1, 1)
+
+    (h0, h1f, h2f, hlf, h1b, h2b, hlb,
+     srcc, dstc, relc, emf, posm, actp, dtf, dtb,
+     tgrp, tval, hgrp, hval, m1x, m2x,
+     wrel, loop1, loop2,
+     wih1f, whh1f, wih1b, whh1b, wih2f, whh2f, wih2b, whh2b,
+     bih1f, bhh1f, bih1b, bhh1b, bih2f, bhh2f, bih2b, bhh2b,
+     rtab, imp) = ins
+
+    # pass 1: loss-side backward — reuses the unidirectional kernel
+    # verbatim (it only sees the saved table)
+    loss_kern = functools.partial(
+        _bwd_loss_kernel, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, r2=r2,
+        dtype_str=dtype_str)
+    d_table, drtab = pl.pallas_call(
+        loss_kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, d), f32),
+            jax.ShapeDtypeStruct((Rp, d), f32),
+        ),
+        in_specs=_specs_smem(interpret, 11, smem_idx=(10,)),
+        out_specs=tuple(_vmem_specs(interpret, 2)),
+        compiler_params=_compiler_params(interpret, limit_mb=120),
+        interpret=interpret,
+    )(table, srcc, dstc, relc, posm, tgrp, tval, hgrp, hval, rtab, g_arr)
+
+    if use_noact:
+        a = actp > 0
+        d_out2 = jnp.where(a, d_table, 0.0)
+        d_h0_sel = jnp.where(a, 0.0, d_table)
+    else:
+        d_out2 = d_table
+        d_h0_sel = None
+
+    dummy = jnp.zeros((1, 1), f32)
+
+    def layer_bwd(h_in, prevf, prevb, hl_f, hl_b, mx, wrel_l, loop_w,
+                  wihf, whhf, bihf, bhhf, wihb, whhb, bihb, bhhb,
+                  imp_in, d_out, act, impute):
+        kern = functools.partial(
+            _bwd_layer_bi_kernel, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, rate=rate,
+            act=act, lam=lam, train=train, impute=impute,
+            dtype_str=dtype_str)
+        hl_shape = (Np, d) if impute else (1, 1)
+        imp_shape = (1, 4) if impute else (1, 1)
+        out_shape = (
+            jax.ShapeDtypeStruct((Np, d), f32),        # d_h
+            jax.ShapeDtypeStruct((Np, d), f32),        # d_prevf
+            jax.ShapeDtypeStruct((Np, d), f32),        # d_prevb
+            jax.ShapeDtypeStruct(hl_shape, f32),       # d_hlocf
+            jax.ShapeDtypeStruct(hl_shape, f32),       # d_hlocb
+            jax.ShapeDtypeStruct(imp_shape, f32),      # d_imp
+            jax.ShapeDtypeStruct((Rp, d), f32),        # dwrel_l
+            jax.ShapeDtypeStruct((d, d), f32),         # dloop
+            jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwihf
+            jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwhhf
+            jax.ShapeDtypeStruct((1, 3 * d), f32),     # dbihf
+            jax.ShapeDtypeStruct((1, 3 * d), f32),     # dbhhf
+            jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwihb
+            jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwhhb
+            jax.ShapeDtypeStruct((1, 3 * d), f32),     # dbihb
+            jax.ShapeDtypeStruct((1, 3 * d), f32),     # dbhhb
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            in_specs=_specs_smem(interpret, 25, smem_idx=(23,)),
+            out_specs=tuple(_vmem_specs(interpret, len(out_shape))),
+            compiler_params=_compiler_params(interpret, limit_mb=120),
+            interpret=interpret,
+        )(h_in, prevf, prevb, hl_f, hl_b, actp, dtf, dtb,
+          srcc, dstc, relc, emf, mx, wrel_l, loop_w,
+          wihf, whhf, bihf, bhhf, wihb, whhb, bihb, bhhb,
+          imp_in, d_out)
+
+    wrel1_w, wrel2_w = wrel[:, :d], wrel[:, d:]
+    (d_out1, dh2f, dh2b, dhlf, dhlb, d_imp, dwrel2, dloop2,
+     dwih2f, dwhh2f, dbih2f, dbhh2f,
+     dwih2b, dwhh2b, dbih2b, dbhh2b) = layer_bwd(
+        out1, h2f, h2b, hlf, hlb, m2x, wrel2_w, loop2,
+        wih2f, whh2f, bih2f, bhh2f, wih2b, whh2b, bih2b, bhh2b,
+        imp, d_out2, act2, True)
+    (dh0, dh1f, dh1b, _, _, _, dwrel1, dloop1,
+     dwih1f, dwhh1f, dbih1f, dbhh1f,
+     dwih1b, dwhh1b, dbih1b, dbhh1b) = layer_bwd(
+        h0, h1f, h1b, dummy, dummy, m1x, wrel1_w, loop1,
+        wih1f, whh1f, bih1f, bhh1f, wih1b, whh1b, bih1b, bhh1b,
+        dummy, d_out1, False, False)
+    dwrel = jnp.concatenate([dwrel1, dwrel2], axis=1)    # [Rp, 2d]
+    if d_h0_sel is not None:
+        dh0 = dh0 + d_h0_sel
+    # cotangents in primal-arg order = kernel input order
+    return (dh0, dh1f, dh2f, dhlf, dh1b, dh2b, dhlb,
+            _zero_ct(res[7]), _zero_ct(res[8]), _zero_ct(res[9]),
+            _zero_ct(res[10]), _zero_ct(res[11]), _zero_ct(res[12]),
+            _zero_ct(res[13]), _zero_ct(res[14]), _zero_ct(res[15]),
+            _zero_ct(res[16]), _zero_ct(res[17]), _zero_ct(res[18]),
+            _zero_ct(res[19]), _zero_ct(res[20]),
+            dwrel, dloop1, dloop2,
+            dwih1f, dwhh1f, dwih1b, dwhh1b,
+            dwih2f, dwhh2f, dwih2b, dwhh2b,
+            dbih1f, dbhh1f, dbih1b, dbhh1b,
+            dbih2f, dbhh2f, dbih2b, dbhh2b,
+            drtab, d_imp)
+
+
+_fused_final_bi.defvjp(_fused_final_bi_fwd, _fused_final_bi_bwd)
+
+
+def fused_final_bi_supported(cfg, base: str, N: int, E: int) -> bool:
+    """Envelope check for the bi+impute fused final step; XLA otherwise."""
+    Np = _round_up(max(N, 1), _LANE)
+    Ep = _round_up(max(E, 1), _LANE)
+    return (_HAS_PLTPU
+            and base == "GRRGCN"
+            and cfg.module.startswith("Bi")
+            and cfg.impute
+            and not cfg.post_aggregation
+            and not cfg.post_ensemble
+            and not cfg.rec_only_last_layer
+            and not cfg.type1
+            and cfg.num_layers == 1
+            and not cfg.learnable_lambda
+            and not cfg.use_time_embedding
+            and cfg.n_bases == cfg.embed_size == cfg.hidden_size
+            and cfg.embed_size % 2 == 0
+            and cfg.score_function == "complex"
+            and cfg.negative_pool == "all"
+            and Ep * Np <= (1 << 23))
+
+
+def fused_final_bi_loss(params, cfg, lc2, data,
+                        h1f, h2f, hlocf, lpf, h1b, h2b, hlocb, lpb,
+                        src, dst, rel, emask_enc, emask_full, t_pos,
+                        rng_drop, rng_pos, train: bool):
+    """Dense bi+impute final step + exact-softmax CE for one batch element.
+
+    Mirrors models/post.py PostBiDynamicRGCNModel.forward_tables (center
+    snapshot) + _final_tables_bi + objectives.train_loss_single
+    (negative_pool="all"). h*/hloc*: densified [N, d] history tables per
+    direction; lp*: last-active positions. rng_drop/rng_pos are the XLA
+    path's k_fin / k_pos keys — dropout masks and positive subset are
+    drawn with identical splits and shapes, so fused and XLA losses agree
+    bit-for-bit in f32 mode.
+    """
+    interpret = jax.default_backend() != "tpu"
+    N = h1f.shape[0]
+    d = cfg.embed_size
+    E = src.shape[0]
+    Np = _round_up(N, _LANE)
+    Ep = _round_up(E, _LANE)
+    r2 = 2 * data.num_rels
+
+    enc = params["encoder"]
+    p1, p2 = enc["layer1"], enc["layer2"]
+    g1f, g1b = p1["gru_fwd"][0], p1["gru_bwd"][0]
+    g2f, g2b = p2["gru_fwd"][0], p2["gru_bwd"][0]
+    R2 = p1["weight"].shape[0]
+    Rp = _round_up(max(R2, r2), _LANE)
+    wrel = jnp.pad(jnp.concatenate(
+        [p1["weight"], p2["weight"]], axis=1), ((0, Rp - R2), (0, 0)))
+    rtab = jnp.pad(params["rel_embeds"], ((0, Rp - r2), (0, 0)))
+
+    pn = ((0, Np - N), (0, 0))
+    h0p = jnp.pad(params["ent_embeds"], pn)
+    pad_h = lambda x: jnp.pad(x.astype(jnp.float32), pn)
+    h1fp, h2fp, hlfp = pad_h(h1f), pad_h(h2f), pad_h(hlocf)
+    h1bp, h2bp, hlbp = pad_h(h1b), pad_h(h2b), pad_h(hlocb)
+    L1 = cfg.train_seq_len - 1
+    pad_dt = lambda lp: jnp.pad((L1 - lp).astype(jnp.float32),
+                                (0, Np - N))[:, None]
+    dtfp, dtbp = pad_dt(lpf), pad_dt(lpb)
+    active = data.active[t_pos]
+    actp = jnp.pad(active.astype(jnp.float32), (0, Np - N))[:, None]
+
+    pe = ((0, Ep - E), (0, 0))
+    src2 = jnp.pad(src.astype(jnp.int32)[:, None], pe,
+                   constant_values=Np - 1)
+    dst2 = jnp.pad(dst.astype(jnp.int32)[:, None], pe,
+                   constant_values=Np - 1)
+    rel2 = jnp.pad(rel.astype(jnp.int32)[:, None], pe)
+    from temp_tpu.ops.sampling import subsample_positives
+    pos_mask = subsample_positives(rng_pos, emask_full, cfg.num_pos_facts)
+    emf = jnp.pad(emask_enc.astype(jnp.float32)[:, None], pe)
+    posm = jnp.pad(pos_mask.astype(jnp.float32)[:, None], pe)
+
+    tt, th = data.train_tail, data.train_head
+    F = tt.grp.shape[1]
+    Fp = _round_up(F, _LANE)
+    pad_row = lambda x: jnp.pad(x.astype(jnp.int32)[None, :],
+                                ((0, 0), (0, Fp - F)), constant_values=-1)
+    pad_col = lambda x: jnp.pad(x.astype(jnp.int32)[:, None],
+                                ((0, Fp - F), (0, 0)), constant_values=-1)
+    tgrp = pad_row(tt.grp[t_pos])
+    tval = pad_col(tt.val[t_pos])
+    hgrp = pad_row(th.grp[t_pos])
+    hval = pad_col(th.val[t_pos])
+
+    rate = float(lc2.dropout) if train else 0.0
+    if train and rate > 0.0:
+        # same split + [N, d] draw shape as _final_tables_bi's rng1/rng2 ->
+        # layers._dropout, then pad: masks match the XLA path exactly
+        keep = 1.0 - rate
+        km1, km2 = jax.random.split(rng_drop)
+        m1x = jnp.pad(jax.random.bernoulli(
+            km1, keep, (N, d)).astype(jnp.float32), pn) / keep
+        m2x = jnp.pad(jax.random.bernoulli(
+            km2, keep, (N, d)).astype(jnp.float32), pn) / keep
+    else:
+        m1x = m2x = jnp.zeros((1, 1), jnp.float32)
+
+    imp = jnp.stack([enc["impute_w_fwd"], enc["impute_b_fwd"],
+                     enc["impute_w_bwd"], enc["impute_b_bwd"]]
+                    ).astype(jnp.float32).reshape(1, 4)
+
+    hot = cfg.hot_dtype
+    dtype_str = None if hot is None else jnp.dtype(hot).name
+    store_dt_str = "float32" if hot is None else jnp.dtype(hot).name
+    act2 = lc2.activation == "relu"
+    static = (Np, N, Ep, d, Rp, Fp, rate, act2,
+              float(cfg.inv_temperature), bool(train),
+              bool(cfg.use_embed_for_non_active), r2, dtype_str,
+              store_dt_str, bool(interpret))
+
+    return _fused_final_bi(
+        static, h0p, h1fp, h2fp, hlfp, h1bp, h2bp, hlbp,
+        src2, dst2, rel2, emf, posm, actp, dtfp, dtbp,
+        tgrp, tval, hgrp, hval, m1x, m2x,
+        wrel, p1["loop_weight"], p2["loop_weight"],
+        g1f["w_ih"].T, g1f["w_hh"].T, g1b["w_ih"].T, g1b["w_hh"].T,
+        g2f["w_ih"].T, g2f["w_hh"].T, g2b["w_ih"].T, g2b["w_hh"].T,
+        g1f["b_ih"][None, :], g1f["b_hh"][None, :],
+        g1b["b_ih"][None, :], g1b["b_hh"][None, :],
+        g2f["b_ih"][None, :], g2f["b_hh"][None, :],
+        g2b["b_ih"][None, :], g2b["b_hh"][None, :],
+        rtab, imp)

@@ -1,0 +1,117 @@
+"""Parity tests for the fused bi+impute final-step kernel
+(temp_tpu/ops/fused_final_bi.py) against the XLA path
+(models/post.py PostBiDynamicRGCNModel.forward_tables + _final_tables_bi
++ objectives.train_loss_single).
+
+The kernel draws its dropout masks, edge subsample, and positive subset
+with the same key splits and shapes as the XLA path, so in f32 interpret
+mode losses and gradients agree to float tolerance even with dropout on.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from temp_tpu.config import TKGConfig
+from temp_tpu.data.snapshots import make_synthetic
+from temp_tpu.models.post import PostBiDynamicRGCNModel
+from temp_tpu.models.registry import get_model
+
+
+@pytest.fixture(scope="module")
+def data():
+    return jax.device_put(make_synthetic(num_ents=30, num_rels=4,
+                                         num_times=10, edges_per_time=25,
+                                         edge_pad_multiple=16))
+
+
+def cfg_pair(**kw):
+    base = dict(module="BiGRRGCN", impute=True, embed_size=16,
+                hidden_size=16, n_bases=16, train_seq_len=4, batch_size=3,
+                negative_rate=8, neg_oversample=8, num_pos_facts=100, seed=0)
+    base.update(kw)
+    ref = TKGConfig(fused_final=False, fused_window=False, **base)
+    fused = TKGConfig(fused_final=True, fused_window=False, **base)
+    return ref, fused
+
+
+T_POS = jnp.asarray([5, 7, 2], jnp.int32)
+T_VALID = jnp.asarray([True, True, True])
+
+
+def loss_and_grads(cfg, data):
+    model = get_model(cfg, data)
+    assert isinstance(model, PostBiDynamicRGCNModel)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def loss_fn(p):
+        return model.loss(p, data, T_POS, T_VALID, jax.random.PRNGKey(1))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return float(loss), grads
+
+
+def assert_grads_match(ref_grads, fused_grads):
+    flat_r = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(fused_grads))
+    for path, g_ref in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path]), np.asarray(g_ref),
+            rtol=2e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.1])
+def test_loss_and_grad_parity(data, dropout):
+    ref_cfg, fused_cfg = cfg_pair(dropout=dropout)
+    ref_loss, ref_grads = loss_and_grads(ref_cfg, data)
+    fused_loss, fused_grads = loss_and_grads(fused_cfg, data)
+    assert np.isfinite(fused_loss)
+    np.testing.assert_allclose(fused_loss, ref_loss, rtol=1e-5)
+    assert_grads_match(ref_grads, fused_grads)
+
+
+def test_impute_scalar_grads_nonzero(data):
+    """The impute weight/bias scalars must receive gradient through the
+    blend (they only touch INACTIVE rows — an all-active snapshot would
+    zero them, so the synthetic data must leave some entities inactive)."""
+    _, fused_cfg = cfg_pair(dropout=0.0)
+    _, grads = loss_and_grads(fused_cfg, data)
+    enc = grads["encoder"]
+    total = sum(float(jnp.abs(enc[k])) for k in
+                ("impute_w_fwd", "impute_b_fwd", "impute_w_bwd",
+                 "impute_b_bwd"))
+    assert total > 0.0
+
+
+def test_both_kernels_compose(data):
+    """fused window + fused bi final together still match pure XLA."""
+    base = dict(module="BiGRRGCN", impute=True, embed_size=16,
+                hidden_size=16, n_bases=16, train_seq_len=4, batch_size=3,
+                negative_rate=8, neg_oversample=8, num_pos_facts=100,
+                seed=0, dropout=0.0)
+    ref_loss, ref_grads = loss_and_grads(
+        TKGConfig(fused_final=False, fused_window=False, **base), data)
+    fused_loss, fused_grads = loss_and_grads(
+        TKGConfig(fused_final=True, fused_window=True, **base), data)
+    np.testing.assert_allclose(fused_loss, ref_loss, rtol=1e-5)
+    assert_grads_match(ref_grads, fused_grads)
+
+
+def test_use_embed_for_non_active_parity(data):
+    ref_cfg, fused_cfg = cfg_pair(dropout=0.0, use_embed_for_non_active=True)
+    ref_loss, ref_grads = loss_and_grads(ref_cfg, data)
+    fused_loss, fused_grads = loss_and_grads(fused_cfg, data)
+    np.testing.assert_allclose(fused_loss, ref_loss, rtol=1e-5)
+    assert_grads_match(ref_grads, fused_grads)
+
+
+def test_envelope_excludes_post_gates(data):
+    """post_aggregation/post_ensemble train a different (gated) loss and
+    must not take the fused path."""
+    from temp_tpu.ops.fused_final_bi import fused_final_bi_supported
+    base = dict(module="BiGRRGCN", impute=True, post_aggregation=True,
+                embed_size=16, hidden_size=16, n_bases=16)
+    cfg = TKGConfig(**base)
+    assert not fused_final_bi_supported(cfg, "GRRGCN", 30, 32)

@@ -107,6 +107,27 @@ def test_use_embed_for_non_active_parity(data):
     assert_grads_match(ref_grads, fused_grads)
 
 
+def test_flagship_config_inside_bi_envelope():
+    """The benchmarked flagship (BiGRRGCN --impute, grid/icews14) must take
+    the fused bi final-step path on TPU: a config/envelope change that
+    silently drops it back to the XLA final chain fails here instead of
+    showing up as an unexplained bench.py flagship regression. N/E come
+    from the REAL dataset build, not literals (mirrors
+    tests/test_fused_window.py::test_flagship_config_inside_fused_envelope)."""
+    import os
+
+    from temp_tpu.data.snapshots import build_tkg_data
+    from temp_tpu.models.encoders import _base_module
+    from temp_tpu.ops.fused_final_bi import fused_final_bi_supported
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "grid", "icews14", "config_bigrrgcn.json")
+    cfg = TKGConfig.from_json_file(path).replace(impute=True)
+    d = build_tkg_data(cfg)
+    assert fused_final_bi_supported(
+        cfg, _base_module(cfg.module), d.num_ents, d.train.src.shape[1])
+
+
 def test_envelope_excludes_post_gates(data):
     """post_aggregation/post_ensemble train a different (gated) loss and
     must not take the fused path."""

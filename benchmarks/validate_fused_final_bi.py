@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from temp_tpu.config import TKGConfig
 from temp_tpu.data.snapshots import build_tkg_data
 from temp_tpu.models.registry import get_model
@@ -23,7 +26,7 @@ def main():
     out = {}
     base = TKGConfig.from_json_file("grid/icews14/config_bigrrgcn.json")
     base = base.replace(impute=True)
-    data = build_tkg_data(base)
+    data = jax.device_put(build_tkg_data(base))
     t_pos = jnp.asarray([40, 120, 300], jnp.int32)
     t_valid = jnp.asarray([True, True, True])
 

@@ -11,9 +11,20 @@ then the exact-softmax tail+head CE. Per docs/PERF.md that chain was
 mode the unidirectional kernel fixed (fused final bought 0.35 -> 0.23 s
 there).
 
-This kernel runs the whole bi+impute chain for one batch element as ONE
-VMEM-resident Pallas program. Structure mirrors ops/fused_final.py:
-- forward kernel (`_fwd_kernel_bi`) producing (loss, table, out1);
+This kernel runs the whole bi+impute chain for one batch element as
+three VMEM-resident Pallas programs (layer 1, layer 2 + impute, loss),
+symmetric with the backward's split. A monolithic forward kernel was
+built first and OOM'd Mosaic's 128 MB scoped VMEM at icews14 shapes
+(164.5 MB with 73 MB of register-spill slots — the bi chain holds seven
+[N, d] history tables plus four GRUs live at once, where the
+unidirectional kernel's single-program live set fit). The per-layer
+split bounds each program's live set at roughly the backward kernels'
+(which compile at these shapes); the [N, d] f32 table/out1 that round
+back through HBM between programs are ~3.7 MB each, noise next to the
+dispatch chain this replaces. Structure:
+- `_layer_fwd_bi_kernel` per layer (conv [+impute blend on layer 2] +
+  two GRUs, fwd/bwd recurrences summed);
+- `_loss_fwd_kernel` (exact-softmax tail+head CE from the saved table);
 - the LOSS-side backward reuses fused_final._bwd_loss_kernel unchanged
   (it only sees the saved table);
 - a per-layer backward kernel (`_bwd_layer_bi_kernel`) generalizing
@@ -47,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from temp_tpu.ops.fused_final import (
-    _Final, _bwd_loss_kernel, _qhat_head, _qhat_tail, _specs_smem,
+    _bwd_loss_kernel, _qhat_head, _qhat_tail, _specs_smem,
 )
 from temp_tpu.ops.fused_window import (
     _HAS_PLTPU, _LANE, _cdt, _compiler_params, _dot, _dot_c0, _dot_c1,
@@ -80,140 +91,147 @@ def _gru_bwd_dir(d_out, x, h0g, r, z, n, ghn, wih, whh, cdt, prec):
     return d_x, d_h0g, dwih, dwhh, dbih, dbhh
 
 
-class _FinalBi(_Final):
-    """Forward recompute for the bi+impute dense final step.
+class _LayerBi:
+    """Shared forward recompute for ONE bi layer (fwd + bwd kernels):
+    conv [+ReLU] [+impute blend on inactive rows] + two GRUs summed."""
 
-    Inherits _Final's loss_side/direction/_gather_rows (they only consume
-    the fields set here: ohs/ohd/ohr, srcc/dstc/relc, table, rtab, …).
-    """
-
-    def __init__(self, ins, *, Np, N, Ep, d, Rp, F, rate, act2, lam,
-                 train, use_noact, r2, dtype_str):
-        (self.h0, self.h1f, self.h2f, self.hlf,
-         self.h1b, self.h2b, self.hlb,
-         self.srcc, self.dstc, self.relc, self.emf, self.posm,
-         self.act, self.dtf, self.dtb,
-         self.tgrp, self.tval, self.hgrp, self.hval, self.m1x, self.m2x,
-         self.wrel, self.loop1, self.loop2,
-         self.wih1f, self.whh1f, self.wih1b, self.whh1b,
-         self.wih2f, self.whh2f, self.wih2b, self.whh2b,
-         self.bih1f, self.bhh1f, self.bih1b, self.bhh1b,
-         self.bih2f, self.bhh2f, self.bih2b, self.bhh2b,
-         self.rtab, self.imp) = ins
-        self.Np, self.N, self.Ep, self.d, self.Rp, self.F = Np, N, Ep, d, Rp, F
-        self.rate, self.act2, self.lam = rate, act2, lam
-        self.train, self.use_noact, self.r2 = train, use_noact, r2
+    def __init__(self, refs, *, Np, d, Rp, rate, act, lam, train, impute,
+                 dtype_str):
+        (self.hin_ref, self.prevf_ref, self.prevb_ref, self.hlf_ref,
+         self.hlb_ref, self.act_ref, self.dtf_ref, self.dtb_ref,
+         self.srcc_ref, self.dstc_ref, self.relc_ref, self.emf_ref,
+         self.mx_ref, self.wrel_ref, self.loop_ref,
+         self.wihf_ref, self.whhf_ref, self.bihf_ref, self.bhhf_ref,
+         self.wihb_ref, self.whhb_ref, self.bihb_ref, self.bhhb_ref,
+         self.imp_ref) = refs
+        self.Np, self.d, self.Rp = Np, d, Rp
+        self.rate, self.act, self.lam = rate, act, lam
+        self.train, self.impute = train, impute
         self.cdt = _cdt(dtype_str)
         self.prec = _prec(dtype_str)
         self.use_drop = train and rate > 0.0
 
-    def encoder(self):
+    def run(self):
         Np, d, cdt, prec = self.Np, self.d, self.cdt, self.prec
         hi = jax.lax.Precision.HIGHEST
-        h0 = self.h0[...].astype(jnp.float32)            # [Np, d]
-        srcc, dstc, relc = self.srcc[...], self.dstc[...], self.relc[...]
-        emc = self.emf[...]                              # [Ep, 1]
-
-        self.ohs = _onehot(srcc, Np, cdt)                # [Ep, Np]
-        self.ohd = _onehot(dstc, Np, cdt)
+        self.h = h = self.hin_ref[...].astype(jnp.float32)   # [Np, d]
+        emc = self.emf_ref[...]                              # [Ep, 1]
+        self.ohs = _onehot(self.srcc_ref[...], Np, cdt)      # [Ep, Np]
+        self.ohd = _onehot(self.dstc_ref[...], Np, cdt)
         ohd32 = self.ohd.astype(jnp.float32)
-        deg = _dot_c0(ohd32, emc, hi)                    # [Np, 1]
+        deg = _dot_c0(ohd32, emc, hi)                        # [Np, 1]
         self.norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
-        nd = _dot(ohd32, self.norm, hi)                  # [Ep, 1]
-        self.escale = nd * emc
+        self.escale = _dot(ohd32, self.norm, hi) * emc       # [Ep, 1]
+        self.ohr = _onehot(self.relc_ref[...], self.Rp, cdt)
+        self.wv = _dot(self.ohr, self.wrel_ref[...].astype(cdt), prec)
 
-        self.ohr = _onehot(relc, self.Rp, cdt)           # [Ep, Rp]
-        wsel = _dot(self.ohr, self.wrel[...].astype(cdt), prec)
-        self.w1, self.w2 = wsel[:, :d], wsel[:, d:]
+        self.hsrc = _dot(self.ohs, h.astype(cdt), prec)      # [Ep, d]
+        msg = self.hsrc * self.wv * self.escale
+        agg = _dot_c0(self.ohd, msg.astype(cdt), prec)
+        lp = _dot(h.astype(cdt), self.loop_ref[...].astype(cdt), prec)
+        self.mx = (self.mx_ref[...].astype(jnp.float32)
+                   if self.use_drop else None)
+        if self.mx is not None:
+            lp = lp * self.mx
+        self.conv_pre = agg * self.norm + lp
+        self.conv = (jnp.maximum(self.conv_pre, 0.0) if self.act
+                     else self.conv_pre)
 
-        dtf, dtb = self.dtf[...], self.dtb[...]          # [Np, 1]
+        dtf, dtb = self.dtf_ref[...], self.dtb_ref[...]      # [Np, 1]
+        self.dtf, self.dtb = dtf, dtb
         self.decf = jnp.exp(-self.lam * dtf)
         self.decb = jnp.exp(-self.lam * dtb)
-        m1 = self.m1x[...].astype(jnp.float32) if self.use_drop else None
-        m2 = self.m2x[...].astype(jnp.float32) if self.use_drop else None
+        self.h0gf = self.prevf_ref[...].astype(jnp.float32) * self.decf
+        self.h0gb = self.prevb_ref[...].astype(jnp.float32) * self.decb
 
-        # layer 1: conv + fwd/bwd GRUs summed (BiRRGCN.py:27-47)
-        self.hsrc1 = _dot(self.ohs, h0.astype(cdt), prec)      # [Ep, d]
-        msg1 = self.hsrc1 * self.w1 * self.escale
-        agg1 = _dot_c0(self.ohd, msg1.astype(cdt), prec)
-        lp1 = _dot(h0.astype(cdt), self.loop1[...].astype(cdt), prec)
-        if m1 is not None:
-            lp1 = lp1 * m1
-        self.conv1 = agg1 * self.norm + lp1
-        self.h0g1f = self.h1f[...].astype(jnp.float32) * self.decf
-        self.h0g1b = self.h1b[...].astype(jnp.float32) * self.decb
-        o1f, self.r1f, self.z1f, self.n1f, self.ghn1f = _gru(
-            self.conv1, self.h0g1f, self.wih1f[...], self.whh1f[...],
-            self.bih1f[...], self.bhh1f[...], d, cdt, prec)
-        o1b, self.r1b, self.z1b, self.n1b, self.ghn1b = _gru(
-            self.conv1, self.h0g1b, self.wih1b[...], self.whh1b[...],
-            self.bih1b[...], self.bhh1b[...], d, cdt, prec)
-        self.out1 = o1f + o1b
-
-        # layer 2: conv (+ReLU), impute blend on inactive rows, fwd/bwd GRUs
-        self.hsrc2 = _dot(self.ohs, self.out1.astype(cdt), prec)
-        msg2 = self.hsrc2 * self.w2 * self.escale
-        agg2 = _dot_c0(self.ohd, msg2.astype(cdt), prec)
-        lp2 = _dot(self.out1.astype(cdt), self.loop2[...].astype(cdt), prec)
-        if m2 is not None:
-            lp2 = lp2 * m2
-        self.conv2_pre = agg2 * self.norm + lp2
-        self.conv2 = (jnp.maximum(self.conv2_pre, 0.0) if self.act2
-                      else self.conv2_pre)
-
-        # impute weights: exp(-max(w*dt + b, 0))/2 per direction
-        # (calc_impute_weight, reference BiRRGCN.py:311-313)
-        iwf, ibf = self.imp[0, 0], self.imp[0, 1]
-        iwb, ibb = self.imp[0, 2], self.imp[0, 3]
-        self.af = iwf * dtf + ibf                        # [Np, 1]
-        self.ab = iwb * dtb + ibb
-        self.wf = jnp.exp(-jnp.maximum(self.af, 0.0)) * 0.5
-        self.wb = jnp.exp(-jnp.maximum(self.ab, 0.0)) * 0.5
-        hlf = self.hlf[...].astype(jnp.float32)
-        hlb = self.hlb[...].astype(jnp.float32)
-        blended = (self.wf * hlf + self.wb * hlb
-                   + (1.0 - self.wf - self.wb) * self.conv2)
-        activ = self.act[...] > 0                        # [Np, 1]
-        self.gin = jnp.where(activ, self.conv2, blended)
-
-        self.h0g2f = self.h2f[...].astype(jnp.float32) * self.decf
-        self.h0g2b = self.h2b[...].astype(jnp.float32) * self.decb
-        o2f, self.r2f, self.z2f, self.n2f, self.ghn2f = _gru(
-            self.gin, self.h0g2f, self.wih2f[...], self.whh2f[...],
-            self.bih2f[...], self.bhh2f[...], d, cdt, prec)
-        o2b, self.r2b, self.z2b, self.n2b, self.ghn2b = _gru(
-            self.gin, self.h0g2b, self.wih2b[...], self.whh2b[...],
-            self.bih2b[...], self.bhh2b[...], d, cdt, prec)
-        self.out2 = o2f + o2b
-
-        if self.use_noact:
-            self.table = jnp.where(activ, self.out2, h0)
+        if self.impute:
+            # impute weights: exp(-max(w*dt + b, 0))/2 per direction
+            # (calc_impute_weight, reference BiRRGCN.py:311-313); blend on
+            # INACTIVE rows only, feeding the GRU (forward_isolated_impute)
+            iwf, ibf = self.imp_ref[0, 0], self.imp_ref[0, 1]
+            iwb, ibb = self.imp_ref[0, 2], self.imp_ref[0, 3]
+            self.af = iwf * dtf + ibf                        # [Np, 1]
+            self.ab = iwb * dtb + ibb
+            self.wf = jnp.exp(-jnp.maximum(self.af, 0.0)) * 0.5
+            self.wb = jnp.exp(-jnp.maximum(self.ab, 0.0)) * 0.5
+            self.hlf = self.hlf_ref[...].astype(jnp.float32)
+            self.hlb = self.hlb_ref[...].astype(jnp.float32)
+            blended = (self.wf * self.hlf + self.wb * self.hlb
+                       + (1.0 - self.wf - self.wb) * self.conv)
+            self.activ = self.act_ref[...] > 0               # [Np, 1]
+            self.gin = jnp.where(self.activ, self.conv, blended)
         else:
-            self.table = self.out2
-        self.h0v = h0
+            self.gin = self.conv
+
+        of, self.rf, self.zf, self.nf, self.ghnf = _gru(
+            self.gin, self.h0gf, self.wihf_ref[...], self.whhf_ref[...],
+            self.bihf_ref[...], self.bhhf_ref[...], d, cdt, prec)
+        ob, self.rb, self.zb, self.nb, self.ghnb = _gru(
+            self.gin, self.h0gb, self.wihb_ref[...], self.whhb_ref[...],
+            self.bihb_ref[...], self.bhhb_ref[...], d, cdt, prec)
+        self.out = of + ob                                   # rec_f + rec_b
 
 
-def _fwd_kernel_bi(*refs, Np, N, Ep, d, Rp, F, rate, act2, lam, train,
-                   use_noact, r2, dtype_str):
-    ins, (loss_ref, table_ref, out1_ref) = refs[:_N_IN_BI], refs[_N_IN_BI:]
-    st = _FinalBi(ins, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, rate=rate,
-                  act2=act2, lam=lam, train=train, use_noact=use_noact,
-                  r2=r2, dtype_str=dtype_str)
-    st.encoder()
-    st.loss_side()
+def _layer_fwd_bi_kernel(*refs, Np, d, Rp, rate, act, lam, train, impute,
+                         dtype_str):
+    st = _LayerBi(refs[:24], Np=Np, d=d, Rp=Rp, rate=rate, act=act,
+                  lam=lam, train=train, impute=impute, dtype_str=dtype_str)
+    st.run()
+    out_ref = refs[24]
+    out_ref[...] = st.out.astype(out_ref.dtype)
 
-    qhat_t = _qhat_tail(st.s_rows, st.remb, d // 2)
-    ce_t, _, _, _ = st.direction(qhat_t, st.o_rows, st.qg_tail,
-                                 st.tgrp, st.tval)
-    qhat_h = _qhat_head(st.o_rows, st.remb, d // 2)
-    ce_h, _, _, _ = st.direction(qhat_h, st.s_rows, st.qg_head,
-                                 st.hgrp, st.hval)
 
-    pm = st.posm[...]
+def _loss_fwd_kernel(*refs, Np, N, Ep, d, Rp, F, r2, dtype_str):
+    """Forward exact-softmax tail+head CE from the saved table (the
+    forward half of fused_final._bwd_loss_kernel; same hi/lo-split
+    near-f32 gathers as _Final._gather_rows/loss_side/direction)."""
+    (table_ref, srcc_ref, dstc_ref, relc_ref, posm_ref, tgrp, tval,
+     hgrp, hval, rtab, loss_ref) = refs
+    cdt = _cdt(dtype_str)
+    prec = _prec(dtype_str)
+    hi = jax.lax.Precision.HIGHEST
+    d2 = d // 2
+
+    table32 = table_ref[...].astype(jnp.float32)
+    srcc, dstc, relc = srcc_ref[...], dstc_ref[...], relc_ref[...]
+    ohs = _onehot(srcc, Np, cdt)
+    ohd = _onehot(dstc, Np, cdt)
+    ohr = _onehot(relc, Rp, cdt)
+
+    def gather(oh, v32):
+        if cdt == jnp.float32:
+            return _dot(oh, v32, hi)
+        v_hi = v32.astype(jnp.bfloat16)
+        v_lo = (v32 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return _dot(oh, v_hi, None) + _dot(oh, v_lo, None)
+
+    s_rows = gather(ohs, table32)                        # [Ep, d]
+    o_rows = gather(ohd, table32)
+    remb = gather(ohr, rtab[...].astype(jnp.float32))
+    tc = table32.astype(cdt)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+    def ce_dir(qhat, pos_rows, q_grp, grp_ref, val_ref):
+        sc_all = _dot_c1(qhat.astype(cdt), tc, prec)
+        match = (q_grp == grp_ref[...]).astype(jnp.bfloat16)     # [Ep, F]
+        ohv = _onehot(val_ref[...], Np, jnp.bfloat16)    # [F, Np]
+        counts = jnp.dot(match, ohv, preferred_element_type=jnp.float32)
+        bad = jnp.logical_or(counts > 0.5, cols >= N)
+        sc_all = jnp.where(bad, -1e9, sc_all)
+        sc_pos = jnp.sum(qhat * pos_rows, axis=1, keepdims=True)
+        m = jnp.maximum(jnp.max(sc_all, axis=1, keepdims=True), sc_pos)
+        ex = jnp.exp(sc_all - m)
+        lse = m + jnp.log(jnp.exp(sc_pos - m)
+                          + jnp.sum(ex, axis=1, keepdims=True))
+        return lse - sc_pos                              # [Ep, 1]
+
+    ce_t = ce_dir(_qhat_tail(s_rows, remb, d2), o_rows,
+                  srcc * r2 + relc, tgrp, tval)
+    ce_h = ce_dir(_qhat_head(o_rows, remb, d2), s_rows,
+                  dstc * r2 + relc, hgrp, hval)
+    pm = posm_ref[...]
     cnt = jnp.maximum(jnp.sum(pm), 1.0)
     loss_ref[0, 0] = (jnp.sum(ce_t * pm) + jnp.sum(ce_h * pm)) / cnt
-    table_ref[...] = st.table.astype(table_ref.dtype)
-    out1_ref[...] = st.out1.astype(out1_ref.dtype)
 
 
 def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
@@ -225,77 +243,24 @@ def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
     act/imp refs are (1, 1) dummies). Split per layer like
     fused_final._bwd_layer_kernel so each program's live set fits VMEM.
     """
-    (hin_ref, prevf_ref, prevb_ref, hlf_ref, hlb_ref, act_ref,
-     dtf_ref, dtb_ref, srcc_ref, dstc_ref, relc_ref, emf_ref, mx_ref,
-     wrel_ref, loop_ref,
-     wihf_ref, whhf_ref, bihf_ref, bhhf_ref,
-     wihb_ref, whhb_ref, bihb_ref, bhhb_ref,
-     imp_ref, dout_ref) = refs[:25]
+    st = _LayerBi(refs[:24], Np=Np, d=d, Rp=Rp, rate=rate, act=act,
+                  lam=lam, train=train, impute=impute, dtype_str=dtype_str)
+    st.run()
+    dout_ref = refs[24]
     (d_h_out, d_prevf_out, d_prevb_out, d_hlf_out, d_hlb_out, d_imp_out,
      dwrel_l, dloop,
      dwihf, dwhhf, dbihf, dbhhf, dwihb, dwhhb, dbihb, dbhhb) = refs[25:]
-    cdt = _cdt(dtype_str)
-    prec = _prec(dtype_str)
-    hi = jax.lax.Precision.HIGHEST
-    use_drop = train and rate > 0.0
-
-    # recompute the layer forward (mirrors _FinalBi.encoder per layer)
-    h = hin_ref[...].astype(jnp.float32)                 # [Np, d]
-    emc = emf_ref[...]
-    ohs = _onehot(srcc_ref[...], Np, cdt)
-    ohd = _onehot(dstc_ref[...], Np, cdt)
-    ohd32 = ohd.astype(jnp.float32)
-    deg = _dot_c0(ohd32, emc, hi)
-    norm = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
-    escale = _dot(ohd32, norm, hi) * emc
-    ohr = _onehot(relc_ref[...], Rp, cdt)
-    wv = _dot(ohr, wrel_ref[...].astype(cdt), prec)      # [Ep, d]
-
-    hsrc = _dot(ohs, h.astype(cdt), prec)
-    msg = hsrc * wv * escale
-    agg = _dot_c0(ohd, msg.astype(cdt), prec)
-    lp = _dot(h.astype(cdt), loop_ref[...].astype(cdt), prec)
-    mx = mx_ref[...].astype(jnp.float32) if use_drop else None
-    if mx is not None:
-        lp = lp * mx
-    conv_pre = agg * norm + lp
-    conv = jnp.maximum(conv_pre, 0.0) if act else conv_pre
-
-    dtf, dtb = dtf_ref[...], dtb_ref[...]
-    decf = jnp.exp(-lam * dtf)
-    decb = jnp.exp(-lam * dtb)
-    h0gf = prevf_ref[...].astype(jnp.float32) * decf
-    h0gb = prevb_ref[...].astype(jnp.float32) * decb
-
-    if impute:
-        iwf, ibf = imp_ref[0, 0], imp_ref[0, 1]
-        iwb, ibb = imp_ref[0, 2], imp_ref[0, 3]
-        af = iwf * dtf + ibf
-        ab = iwb * dtb + ibb
-        wf = jnp.exp(-jnp.maximum(af, 0.0)) * 0.5
-        wb = jnp.exp(-jnp.maximum(ab, 0.0)) * 0.5
-        hlf = hlf_ref[...].astype(jnp.float32)
-        hlb = hlb_ref[...].astype(jnp.float32)
-        blended = wf * hlf + wb * hlb + (1.0 - wf - wb) * conv
-        activ = act_ref[...] > 0
-        gin = jnp.where(activ, conv, blended)
-    else:
-        gin = conv
-
-    _, rf, zf, nf, ghnf = _gru(gin, h0gf, wihf_ref[...], whhf_ref[...],
-                               bihf_ref[...], bhhf_ref[...], d, cdt, prec)
-    _, rb, zb, nb, ghnb = _gru(gin, h0gb, wihb_ref[...], whhb_ref[...],
-                               bihb_ref[...], bhhb_ref[...], d, cdt, prec)
+    cdt, prec = st.cdt, st.prec
 
     # both GRUs receive the same cotangent (rec = rec_f + rec_b) and the
     # same input gin
     d_out = dout_ref[...]
     d_gin_f, d_h0gf, dwf_ih, dwf_hh, dbf_ih, dbf_hh = _gru_bwd_dir(
-        d_out, gin, h0gf, rf, zf, nf, ghnf, wihf_ref[...], whhf_ref[...],
-        cdt, prec)
+        d_out, st.gin, st.h0gf, st.rf, st.zf, st.nf, st.ghnf,
+        st.wihf_ref[...], st.whhf_ref[...], cdt, prec)
     d_gin_b, d_h0gb, dwb_ih, dwb_hh, dbb_ih, dbb_hh = _gru_bwd_dir(
-        d_out, gin, h0gb, rb, zb, nb, ghnb, wihb_ref[...], whhb_ref[...],
-        cdt, prec)
+        d_out, st.gin, st.h0gb, st.rb, st.zb, st.nb, st.ghnb,
+        st.wihb_ref[...], st.whhb_ref[...], cdt, prec)
     dwihf[...] = dwf_ih
     dwhhf[...] = dwf_hh
     dbihf[...] = dbf_ih
@@ -305,24 +270,27 @@ def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
     dbihb[...] = dbb_ih
     dbhhb[...] = dbb_hh
     d_gin = d_gin_f + d_gin_b
-    d_prevf_out[...] = d_h0gf * decf
-    d_prevb_out[...] = d_h0gb * decb
+    d_prevf_out[...] = d_h0gf * st.decf
+    d_prevb_out[...] = d_h0gb * st.decb
 
     if impute:
         # gin = where(active, conv, blended)
-        d_blend = jnp.where(activ, 0.0, d_gin)
-        d_conv = jnp.where(activ, d_gin, (1.0 - wf - wb) * d_gin)
-        d_hlf_out[...] = wf * d_blend
-        d_hlb_out[...] = wb * d_blend
+        d_blend = jnp.where(st.activ, 0.0, d_gin)
+        d_conv = jnp.where(st.activ, d_gin,
+                           (1.0 - st.wf - st.wb) * d_gin)
+        d_hlf_out[...] = st.wf * d_blend
+        d_hlb_out[...] = st.wb * d_blend
         # w_dir = exp(-max(a, 0))/2 -> dw/da = -w * (a > 0)
-        d_wf_row = jnp.sum(d_blend * (hlf - conv), axis=1, keepdims=True)
-        d_wb_row = jnp.sum(d_blend * (hlb - conv), axis=1, keepdims=True)
-        d_af = -wf * (af > 0).astype(jnp.float32) * d_wf_row
-        d_ab = -wb * (ab > 0).astype(jnp.float32) * d_wb_row
+        d_wf_row = jnp.sum(d_blend * (st.hlf - st.conv), axis=1,
+                           keepdims=True)
+        d_wb_row = jnp.sum(d_blend * (st.hlb - st.conv), axis=1,
+                           keepdims=True)
+        d_af = -st.wf * (st.af > 0).astype(jnp.float32) * d_wf_row
+        d_ab = -st.wb * (st.ab > 0).astype(jnp.float32) * d_wb_row
         d_imp_out[...] = jnp.concatenate(
-            [jnp.sum(d_af * dtf, keepdims=True).reshape(1, 1),
+            [jnp.sum(d_af * st.dtf, keepdims=True).reshape(1, 1),
              jnp.sum(d_af, keepdims=True).reshape(1, 1),
-             jnp.sum(d_ab * dtb, keepdims=True).reshape(1, 1),
+             jnp.sum(d_ab * st.dtb, keepdims=True).reshape(1, 1),
              jnp.sum(d_ab, keepdims=True).reshape(1, 1)], axis=1)
     else:
         d_conv = d_gin
@@ -330,18 +298,19 @@ def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
         d_hlb_out[...] = jnp.zeros(d_hlb_out.shape, d_hlb_out.dtype)
         d_imp_out[...] = jnp.zeros(d_imp_out.shape, d_imp_out.dtype)
     if act:
-        d_conv = d_conv * (conv_pre > 0.0).astype(jnp.float32)
+        d_conv = d_conv * (st.conv_pre > 0.0).astype(jnp.float32)
 
     # conv backward: spmm + dropped self-loop (as _bwd_layer_kernel:404-414)
-    d_agg = d_conv * norm
-    d_msg = _dot(ohd, d_agg.astype(cdt), prec)
-    d_hsrc = d_msg * wv * escale
-    d_wsel = d_msg * hsrc * escale
-    d_h = _dot_c0(ohs, d_hsrc.astype(cdt), prec)
-    dwrel_l[...] = _dot_c0(ohr, d_wsel.astype(cdt), prec)
-    d_lp = d_conv if mx is None else d_conv * mx
-    d_h = d_h + _dot_c1(d_lp.astype(cdt), loop_ref[...].astype(cdt), prec)
-    dloop[...] = _dot_c0(h.astype(cdt), d_lp.astype(cdt), prec)
+    d_agg = d_conv * st.norm
+    d_msg = _dot(st.ohd, d_agg.astype(cdt), prec)
+    d_hsrc = d_msg * st.wv * st.escale
+    d_wsel = d_msg * st.hsrc * st.escale
+    d_h = _dot_c0(st.ohs, d_hsrc.astype(cdt), prec)
+    dwrel_l[...] = _dot_c0(st.ohr, d_wsel.astype(cdt), prec)
+    d_lp = d_conv if st.mx is None else d_conv * st.mx
+    d_h = d_h + _dot_c1(d_lp.astype(cdt),
+                        st.loop_ref[...].astype(cdt), prec)
+    dloop[...] = _dot_c0(st.h.astype(cdt), d_lp.astype(cdt), prec)
     d_h_out[...] = d_h
 
 
@@ -351,31 +320,62 @@ def _fused_final_bi(static, *args):
     return out
 
 
-def _call_fwd_bi(static, args):
+def _call_layer_fwd(static, act, impute, args):
+    """One per-layer forward pallas_call -> [Np, d] f32 layer output."""
     (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
      dtype_str, store_dt_str, interpret) = static
     kern = functools.partial(
-        _fwd_kernel_bi, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, rate=rate,
-        act2=act2, lam=lam, train=train, use_noact=use_noact, r2=r2,
-        dtype_str=dtype_str)
-    out_shape = (
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, d), jnp.dtype(store_dt_str)),  # table
-        jax.ShapeDtypeStruct((Np, d), jnp.dtype(store_dt_str)),  # out1
-    )
+        _layer_fwd_bi_kernel, Np=Np, d=d, Rp=Rp, rate=rate, act=act,
+        lam=lam, train=train, impute=impute, dtype_str=dtype_str)
     # imp [1, 4] rides SMEM (scalar reads); everything else VMEM
     return pl.pallas_call(
         kern,
-        out_shape=out_shape,
-        in_specs=_specs_smem(interpret, _N_IN_BI, smem_idx=(41,)),
-        out_specs=tuple(_specs_smem(interpret, 3, smem_idx=(0,))),
+        out_shape=jax.ShapeDtypeStruct((Np, d), jnp.float32),
+        in_specs=_specs_smem(interpret, 24, smem_idx=(23,)),
+        out_specs=_vmem_specs(interpret, 1)[0],
         compiler_params=_compiler_params(interpret, limit_mb=120),
         interpret=interpret,
     )(*args)
 
 
 def _fused_final_bi_fwd(static, *args):
-    loss, table, out1 = _call_fwd_bi(static, args)
+    (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
+     dtype_str, store_dt_str, interpret) = static
+    (h0, h1f, h2f, hlf, h1b, h2b, hlb,
+     srcc, dstc, relc, emf, posm, actp, dtf, dtb,
+     tgrp, tval, hgrp, hval, m1x, m2x,
+     wrel, loop1, loop2,
+     wih1f, whh1f, wih1b, whh1b, wih2f, whh2f, wih2b, whh2b,
+     bih1f, bhh1f, bih1b, bhh1b, bih2f, bhh2f, bih2b, bhh2b,
+     rtab, imp) = args
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    wrel1_w, wrel2_w = wrel[:, :d], wrel[:, d:]
+
+    out1 = _call_layer_fwd(static, False, False, (
+        h0, h1f, h1b, dummy, dummy, actp, dtf, dtb,
+        srcc, dstc, relc, emf, m1x, wrel1_w, loop1,
+        wih1f, whh1f, bih1f, bhh1f, wih1b, whh1b, bih1b, bhh1b, dummy))
+    out2 = _call_layer_fwd(static, act2, True, (
+        out1, h2f, h2b, hlf, hlb, actp, dtf, dtb,
+        srcc, dstc, relc, emf, m2x, wrel2_w, loop2,
+        wih2f, whh2f, bih2f, bhh2f, wih2b, whh2b, bih2b, bhh2b, imp))
+    if use_noact:
+        # DynamicRGCN.py:58-59 select — pure elementwise, stays in XLA
+        table = jnp.where(actp > 0, out2, h0)
+    else:
+        table = out2
+
+    loss_kern = functools.partial(
+        _loss_fwd_kernel, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, F=F, r2=r2,
+        dtype_str=dtype_str)
+    loss = pl.pallas_call(
+        loss_kern,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=_vmem_specs(interpret, 10),
+        out_specs=_specs_smem(interpret, 1, smem_idx=(0,))[0],
+        compiler_params=_compiler_params(interpret, limit_mb=120),
+        interpret=interpret,
+    )(table, srcc, dstc, relc, posm, tgrp, tval, hgrp, hval, rtab)
     return loss[0, 0], args + (table, out1)
 
 

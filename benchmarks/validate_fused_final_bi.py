@@ -1,9 +1,19 @@
 #!/usr/bin/env python
 """On-chip validation for the fused bi+impute final-step kernel
-(ops/fused_final_bi.py): f32 loss/grad parity vs the XLA path on real
+(ops/fused_final_bi.py): f32 forward-loss parity vs the XLA path on real
 icews14 data (Mosaic, not interpreter), then a bf16 flagship epoch A/B.
 
-Prints one JSON line; artifact for results/round4/.
+Round-5 protocol note: full-shape f32 GRADIENT parity cannot run on-chip —
+the shared loss-side backward (fused_final._bwd_loss_kernel) spills to a
+measured 154.41 MB of VMEM in f32 at icews14 shapes (vs the 128 MB chip;
+results/round5/validate_ffbi_v2.log), which is why fused_final_bi_supported
+excludes full-size f32 and the flagship hot path is bf16. Gradient parity
+is pinned by tests/test_fused_final_bi.py (interpreter, exact same kernel
+code); here the f32 check covers the on-chip FORWARD (all five Mosaic
+programs) by comparing loss values with the support gate overridden, and
+the bf16 A/B exercises the full fwd+bwd training path the flagship ships.
+
+Prints one JSON line; artifact for results/round5/.
 """
 
 import json
@@ -30,35 +40,35 @@ def main():
     t_pos = jnp.asarray([40, 120, 300], jnp.int32)
     t_valid = jnp.asarray([True, True, True])
 
-    # -- f32 parity on the real chip (Mosaic lowering, exact dropout keys) --
-    rel = {}
-    for name, ff in (("xla", False), ("fused", True)):
-        cfg = base.replace(compute_dtype="float32", fused_final=ff,
+    # -- f32 FORWARD parity on the real chip (Mosaic lowering, exact keys).
+    # The support gate excludes full-size f32 (loss-bwd VMEM), so drive the
+    # kernel loss directly through the model's fused branch by patching the
+    # gate; forward-only, no grads.
+    import temp_tpu.ops.fused_final_bi as ffbi
+
+    losses = {}
+    for name, force in (("xla", False), ("fused", True)):
+        cfg = base.replace(compute_dtype="float32", fused_final=force,
                            fused_window=False)
         model = get_model(cfg, data)
         params = model.init_params(jax.random.PRNGKey(0))
+        orig = ffbi.fused_final_bi_supported
+        if force:
+            ffbi.fused_final_bi_supported = (
+                lambda *a, **k: orig(*a, **k) or True)
+        try:
+            def loss_fn(p):
+                return model.loss(p, data, t_pos, t_valid,
+                                  jax.random.PRNGKey(1))
+            losses[name] = float(jax.jit(loss_fn)(params))
+        finally:
+            ffbi.fused_final_bi_supported = orig
+    out["f32_loss_xla"] = losses["xla"]
+    out["f32_loss_fused"] = losses["fused"]
+    out["f32_loss_rel_err"] = (abs(losses["fused"] - losses["xla"])
+                               / max(abs(losses["xla"]), 1e-9))
 
-        def loss_fn(p):
-            return model.loss(p, data, t_pos, t_valid, jax.random.PRNGKey(1))
-
-        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
-        rel[name] = (float(loss), grads)
-    l_x, g_x = rel["xla"]
-    l_f, g_f = rel["fused"]
-    out["f32_loss_xla"] = l_x
-    out["f32_loss_fused"] = l_f
-    out["f32_loss_rel_err"] = abs(l_f - l_x) / max(abs(l_x), 1e-9)
-    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
-    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
-    max_rel = 0.0
-    for path, gx in flat_x:
-        gx = np.asarray(gx, np.float64)
-        gf = np.asarray(flat_f[path], np.float64)
-        denom = np.maximum(np.abs(gx), 1e-6)
-        max_rel = max(max_rel, float(np.max(np.abs(gf - gx) / denom)))
-    out["f32_grad_max_rel_err"] = max_rel
-
-    # -- bf16 flagship epoch A/B (the bench.py flagship protocol) ----------
+    # -- bf16 flagship epoch A/B (the bench.py flagship protocol; grads on) --
     for name, ff in (("xla", False), ("fused", True)):
         cfg = base.replace(fused_final=ff)
         model = get_model(cfg, data)
@@ -72,14 +82,17 @@ def main():
             return trainer.train_epoch(p, o, trainer.data, tp, tv,
                                        jax.random.PRNGKey(i))
 
-        params, opt, losses = epoch(params, opt, 0)
-        float(np.asarray(losses)[-1])
+        params, opt, ls = epoch(params, opt, 0)
+        out[f"bf16_loss0_{name}"] = float(np.asarray(ls)[-1])
         t0 = time.time()
         n = 3
         for i in range(1, n + 1):
-            params, opt, losses = epoch(params, opt, i)
-            float(np.asarray(losses)[-1])
+            params, opt, ls = epoch(params, opt, i)
+            float(np.asarray(ls)[-1])
         out[f"flagship_epoch_s_{name}"] = round((time.time() - t0) / n, 4)
+    out["bf16_loss0_rel_err"] = (
+        abs(out["bf16_loss0_fused"] - out["bf16_loss0_xla"])
+        / max(abs(out["bf16_loss0_xla"]), 1e-9))
     out["flagship_speedup"] = round(
         out["flagship_epoch_s_xla"] / out["flagship_epoch_s_fused"], 3)
     print(json.dumps(out))

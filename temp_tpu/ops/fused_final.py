@@ -39,6 +39,14 @@ from temp_tpu.ops.fused_window import (
 )
 
 
+# Scoped-VMEM budget requested from Mosaic. v5e has 128 MB VMEM/core; the
+# old 120 MB budget was 308 KB too small for this kernel at icews05-15
+# shapes (Np=10496, bf16 store: measured stack total 120.30 MB,
+# results/round5/compile_icews15_probe.log — caught by
+# benchmarks/compile_all_kernels.py, invisible at icews14).
+_LIMIT_MB = 127
+
+
 def _specs_smem(interpret, n, smem_idx=()):
     """Full-array specs, VMEM except the (1, 1) scalars, which Mosaic wants
     in SMEM."""
@@ -441,7 +449,7 @@ def _call_fwd(static, args):
         out_shape=out_shape,
         in_specs=_vmem_specs(interpret, _N_IN),
         out_specs=tuple(_specs_smem(interpret, 3, smem_idx=(0,))),
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(*args)
 
@@ -473,7 +481,7 @@ def _fused_final_bwd(static, res, g):
         ),
         in_specs=_specs_smem(interpret, 11, smem_idx=(10,)),
         out_specs=tuple(_vmem_specs(interpret, 2)),
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(table, srcc, dstc, relc, posm, tgrp, tval, hgrp, hval, rtab, g_arr)
 
@@ -507,7 +515,7 @@ def _fused_final_bwd(static, res, g):
             out_shape=out_shape,
             in_specs=_vmem_specs(interpret, 15),
             out_specs=tuple(_vmem_specs(interpret, len(out_shape))),
-            compiler_params=_compiler_params(interpret, limit_mb=120),
+            compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
             interpret=interpret,
         )(h_in, prev, dtc, srcc, dstc, relc, emf, mx, wrel_l, loop_w,
           wih, whh, bih, bhh, d_out)
@@ -723,7 +731,7 @@ def fused_eval_ranks(params, cfg, lc2, data, hist1, hist2, last_pos,
         out_shape=out_shape,
         in_specs=_vmem_specs(interpret, _N_IN + 3),
         out_specs=tuple(_specs_smem(interpret, 3, smem_idx=(2,))),
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(h0p, h1p, h2p, src2, dst2, rel2, emf, qm2, actp, dtp,
       tgrp, tval, hgrp, hval, m1x, m2x,
@@ -737,11 +745,32 @@ def fused_eval_ranks(params, cfg, lc2, data, hist1, hist2, last_pos,
     return ranks, mask, bce[0, 0]
 
 
+def _vmem_mb_est(Np: int, Ep: int, d: int, hot: bool) -> float:
+    """Dtype-aware scoped-VMEM model for the largest program. The dominant
+    term is the loss-side backward (_bwd_loss_kernel): its [Ep, Np]
+    score/softmax transients spill in proportion to the contraction dtype
+    — the SAME kernel measured 154.41 MB at icews14 f32 shapes
+    (results/round5/validate_ffbi_v2.log, via the bi path that reuses it
+    verbatim) while compiling and running at bf16 at those shapes (this
+    kernel has been on the bench hot path since round 3). The monolithic
+    forward measured 120.30 MB at icews05-15 bf16 shapes
+    (Np=10496; results/round5/compile_icews15_probe.log) — modeled by the
+    Np*d term."""
+    sb = 2 if hot else 4
+    loss_bwd = 15 * Ep * Np * sb + 8 * Np * d * 4
+    # fwd: f32 windows/intermediates (x14) + store-dtype tables/transients
+    # (x17, calibrated to the 120.30 MB bf16 measurement at Np=10496)
+    fwd = (14 * 4 + 17 * sb) * Np * d + 2 * Ep * Np * sb
+    return max(loss_bwd, fwd) / 2**20
+
+
 def fused_final_supported(cfg, base: str, N: int, E: int) -> bool:
     """Envelope check (see module docstring); XLA path otherwise."""
     Np = _round_up(max(N, 1), _LANE)
     Ep = _round_up(max(E, 1), _LANE)
+    hot = cfg.hot_dtype is not None
     return (_HAS_PLTPU
+            and _vmem_mb_est(Np, Ep, cfg.embed_size, hot) <= _LIMIT_MB - 2
             and base == "GRRGCN"
             and not cfg.rec_only_last_layer
             and not cfg.type1

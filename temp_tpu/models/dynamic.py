@@ -139,11 +139,58 @@ class DynamicRGCNModel:
         return params["ent_embeds"]
 
     def _encoder_step(self, params, h0, snap: Snapshot, hist1, hist2, dt,
-                      train: bool, rng, direction=None):
+                      train: bool, rng, direction=None, conv1_in=False):
         return encoder_forward(
             params["encoder"], self.cfg, self.lc1, self.lc2,
             h0, snap, hist1, hist2, dt, train, rng, direction=direction,
+            conv1_in=conv1_in,
         )
+
+    def precompute_eval_conv1(self, params, data: TKGData):
+        """Per-snapshot layer-1 conv outputs for ALL train snapshots, compact
+        layout [T, A, d] — the eval cross-target reuse table (VERDICT r4
+        item 5). Layer 1's conv input is the STATIC entity embeddings
+        (reference DynamicRGCN.py:156-174: every window restarts from
+        ent_embeds), so with eval's deterministic graphs (no dropout /
+        DropEdge) each snapshot's conv1 is identical in every window that
+        contains it. The reference recomputes it per target (up to
+        seq_len-1 times per snapshot); computing it once per eval sweep
+        removes layer 1's spmm from the eval window forward entirely.
+        Returns None when the config is outside the supported envelope
+        (non-GRRGCN recurrence, time embeddings, edge partitioning) or the
+        table would not comfortably fit HBM (icews05-15: [4017, 2048, d]).
+        """
+        cfg = self.cfg
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.parallel.mesh import manual_axis
+        T = data.num_times
+        A = data.act_idx.shape[1]
+        d = cfg.embed_size
+        if (type(self) is not DynamicRGCNModel  # Bi/Post/Time eval paths
+                # thread their own windows; extend explicitly when needed
+                or _base_module(cfg.module) != "GRRGCN"
+                or cfg.rec_only_last_layer
+                or cfg.use_time_embedding
+                or manual_axis() is not None
+                or cfg.edge_partition_mode is not None
+                or T * A * d * 4 > 256 * 2**20):
+            return None
+
+        from temp_tpu.models.layers import rgcn_conv
+
+        def one_t(xs):
+            rows, src, dst, rel, emask = xs
+            snap = Snapshot(src=src, dst=dst, rel=rel, emask=emask,
+                            t_idx=0, valid=True, active=None, bnd=None)
+            h_rows = params["ent_embeds"][rows]
+            return rgcn_conv(params["encoder"]["layer1"], cfg, self.lc1,
+                             h_rows, snap, False, None)
+
+        return jax.lax.map(
+            one_t,
+            (data.act_idx, data.train_src_loc, data.train_dst_loc,
+             data.train.rel, data.train.emask),
+            batch_size=32)
 
     def _window_xs(self, win: WindowSlice, length: int, train: bool, rng,
                    drop_rates):
@@ -171,7 +218,7 @@ class DynamicRGCNModel:
 
     def pre_forward(self, params, win: WindowSlice, length: int,
                     train: bool, rng, t_pos, direction=None, drop_rates=None,
-                    with_loc: bool = False):
+                    with_loc: bool = False, conv1_xs=None):
         """Scan the first length-1 window snapshots, accumulating history
         (reference pre_forward, DynamicRGCN.py:156-174).
 
@@ -187,6 +234,10 @@ class DynamicRGCNModel:
         updates and was ~70% of the fused epoch (results/round3/trace).
 
         Returns (hist1, hist2[, hist_loc], last_pos), all dense.
+
+        `conv1_xs` [L1, A, d] (eval only): precomputed layer-1 conv outputs
+        for the window steps (precompute_eval_conv1) — layer 1's spmm is
+        skipped in both the fused-kernel and XLA-scan paths.
         """
         from temp_tpu.parallel.mesh import shard_entity
 
@@ -224,15 +275,22 @@ class DynamicRGCNModel:
             livem = prev_step >= 0
             dt_tab = pos.astype(jnp.float32) - jnp.maximum(
                 prev_step, 0).astype(jnp.float32)
-            h0_xs = self.input_embeddings_rows(
-                params, win.t_idx[:L1], win.act_idx[:L1])
+            if conv1_xs is not None and not train:
+                h0_xs = conv1_xs
+            else:
+                conv1_xs = None
+                h0_xs = self.input_embeddings_rows(
+                    params, win.t_idx[:L1], win.act_idx[:L1])
             bufs = fused_window_scan(
                 params["encoder"], cfg, self.lc2, h0_xs,
                 win.src_loc[:L1], win.dst_loc[:L1], win.rel[:L1],
                 win.emask[:L1], prev_step, prev_row, dt_tab, livem,
-                rng, train, n_buf, direction=direction)
+                rng, train, n_buf, direction=direction,
+                conv1_in=conv1_xs is not None)
         else:
             bufs = None
+
+        use_conv1_in = conv1_xs is not None and not train
 
         def step(carry, xs):
             bufs = carry
@@ -260,7 +318,7 @@ class DynamicRGCNModel:
             dt = (pos - jnp.maximum(pstep, 0)).astype(jnp.float32)
             out1, out2, local2 = self._encoder_step(
                 params, h0, snap, h1, h2, dt, train,
-                step_key, direction=direction)
+                step_key, direction=direction, conv1_in=use_conv1_in)
             outs = (out1, out2, local2)[:n_buf]
             bufs = tuple(b.at[pos].set(o.astype(b.dtype))
                          for b, o in zip(bufs, outs))
@@ -283,8 +341,9 @@ class DynamicRGCNModel:
             # d(ent_embeds) ONCE, instead of an O(N*d) scatter-add per scan
             # step in the transposed loop (round-3 trace: that scatter was
             # ~35% of the epoch)
-            h0_xs = self.input_embeddings_rows(
-                params, win.t_idx[:L1], win.act_idx[:L1])
+            h0_xs = (conv1_xs if use_conv1_in
+                     else self.input_embeddings_rows(
+                         params, win.t_idx[:L1], win.act_idx[:L1]))
             unroll = int(cfg.scan_unroll) or (
                 L1 if jax.default_backend() == "tpu" else 1)
             bufs, _ = jax.lax.scan(
@@ -308,7 +367,19 @@ class DynamicRGCNModel:
         """Gathered input features for the compact active set."""
         return params["ent_embeds"][rows]
 
-    def forward_element(self, params, data: TKGData, t_pos, train: bool, rng):
+    def _window_conv1(self, data: TKGData, conv1_all, t_pos, length: int,
+                      backward: bool = False):
+        """[L1, A, d] slice of the precomputed conv1 table for one window
+        (same safe-clip indexing as gather_window — clamped out-of-range
+        steps reproduce the recompute path's garbage-but-unconsumed rows)."""
+        offs = jnp.arange(length - 1, dtype=jnp.int32)
+        wpos = (t_pos + (length - 1) - offs if backward
+                else t_pos - (length - 1) + offs)
+        safe = jnp.clip(wpos, 0, data.num_times - 1)
+        return conv1_all[safe]
+
+    def forward_element(self, params, data: TKGData, t_pos, train: bool, rng,
+                        conv1_xs=None):
         """Full forward for one target time -> dense [N, d] entity table."""
         cfg = self.cfg
         length = self.train_len if train else self.eval_len
@@ -317,7 +388,8 @@ class DynamicRGCNModel:
         rates = self.drop_past[t_pos] if self.drop_past is not None else None
         hist1, hist2, last_pos = self.pre_forward(params, win, length, train,
                                                   k_pre, t_pos,
-                                                  drop_rates=rates)
+                                                  drop_rates=rates,
+                                                  conv1_xs=conv1_xs)
 
         emask = win.emask[length - 1]
         if train:
@@ -398,9 +470,14 @@ class DynamicRGCNModel:
         losses = jax.vmap(one)(t_pos, t_valid, rngs)
         return jnp.sum(losses)
 
-    def eval_ranks(self, params, data: TKGData, t_pos, t_valid, split: str):
+    def eval_ranks(self, params, data: TKGData, t_pos, t_valid, split: str,
+                   conv1_all=None):
         """Filtered ranks for a batch of target times (DynamicRGCN.py:118-144,
-        196-220). Returns (ranks [B, 2Q], mask [B, 2Q], mean bce loss)."""
+        196-220). Returns (ranks [B, 2Q], mask [B, 2Q], mean bce loss).
+
+        `conv1_all` [T, A, d]: precomputed per-snapshot layer-1 convs
+        (precompute_eval_conv1) — the Trainer computes them ONCE per eval
+        sweep and every window step gathers instead of recomputing."""
         cfg = self.cfg
         edges = {"valid": data.valid, "test": data.test}[split]
         B = t_pos.shape[0]
@@ -419,6 +496,8 @@ class DynamicRGCNModel:
                       data.train.src.shape[1], edges.src.shape[1]))
 
         def one(tp, tv):
+            c1 = (None if conv1_all is None
+                  else self._window_conv1(data, conv1_all, tp, self.eval_len))
             if use_fe:
                 # fused final-encoder + filtered-rank + BCE kernel
                 # (ops/fused_final._eval_kernel); the history window still
@@ -426,7 +505,7 @@ class DynamicRGCNModel:
                 length = self.eval_len
                 win = gather_window(data, tp, length)
                 hist1, hist2, last_pos = self.pre_forward(
-                    params, win, length, False, rng, tp)
+                    params, win, length, False, rng, tp, conv1_xs=c1)
                 ranks, mask, bce = fused_eval_ranks(
                     params, cfg, self.lc2, data, hist1, hist2, last_pos,
                     win.src[length - 1], win.dst[length - 1],
@@ -434,7 +513,11 @@ class DynamicRGCNModel:
                     edges.src[tp], edges.dst[tp], edges.rel[tp],
                     edges.emask[tp], tp)
                 return ranks, mask & tv, bce
-            table = self.forward_element(params, data, tp, False, rng)
+            # kwarg only when set: Bi/Post overrides don't take conv1_xs
+            table = (self.forward_element(params, data, tp, False, rng,
+                                          conv1_xs=c1)
+                     if c1 is not None
+                     else self.forward_element(params, data, tp, False, rng))
             ranks, mask, bce = eval_ranks_single(
                 self.cfg, data, self.score_all, self.score_single,
                 params["rel_embeds"], table, tp,

@@ -109,6 +109,7 @@ def encoder_forward(
     train: bool, rng, direction: Optional[str] = None,
     impute_weight: Optional[jnp.ndarray] = None,
     prev2_loc: Optional[jnp.ndarray] = None,
+    conv1_in: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One snapshot through the recurrent container (RRGCN.forward /
     BiRRGCN.forward_one_direction). Returns (out1, out2, local2).
@@ -116,17 +117,24 @@ def encoder_forward(
     `impute_weight`/`prev2_loc` implement forward_isolated_impute blending
     (RRGCN.py:105-116,255-269): the layer-2 INPUT representation is blended
     with the last local embedding before the recurrence.
+
+    `conv1_in=True` (GRRGCN eval only): `h0` already holds this snapshot's
+    precomputed layer-1 conv output (target-independent — see
+    models/dynamic.py precompute_eval_conv1); layer 1 runs only its GRU.
     """
     base = _base_module(cfg.module)
     layer_fn = _rec_layer_fn(base)
     rng1, rng2 = (jax.random.split(rng) if rng is not None else (None, None))
 
     if cfg.rec_only_last_layer:
-        out1 = rgcn_conv(p["layer1"], cfg, lc1, h0, snap, train, rng1)
+        out1 = h0 if conv1_in else rgcn_conv(
+            p["layer1"], cfg, lc1, h0, snap, train, rng1)
         # no time-embedding addition in this branch (RRGCN.py:197-198)
     else:
+        assert not (conv1_in and base != "GRRGCN")
+        kw = {"conv_in": True} if conv1_in else {}
         _, out1, temb1 = layer_fn(p["layer1"], cfg, lc1, h0, snap, prev1, dt, train, rng1,
-                                  direction=direction)
+                                  direction=direction, **kw)
         if cfg.use_time_embedding:
             out1 = out1 + temb1
 

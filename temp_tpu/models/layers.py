@@ -182,15 +182,21 @@ def _run_gru(cfg: TKGConfig, gru_params, x, h0):
 def grrgcn_layer(
     p, cfg: TKGConfig, lc: LayerCfg, h, snap: Snapshot,
     prev: jnp.ndarray, dt: jnp.ndarray, train: bool, rng,
-    direction: Optional[str] = None,
+    direction: Optional[str] = None, conv_in: bool = False,
 ):
     """GRU-recurrent RGCN layer (models/RRGCN.py:77-89).
 
     Returns (conv_out, rec_out, time_emb): conv_out is the pre-GRU "local"
     representation needed by the post-aggregation/impute variants
     (RRGCN.py:86-87).
+
+    `conv_in=True`: `h` already IS this layer's conv output (the eval
+    cross-target reuse path — layer 1's conv input is the static entity
+    embeddings, so its per-snapshot conv is target-independent and
+    precomputed once per eval sweep; models/dynamic.py
+    precompute_eval_conv1). Only the GRU recurrence runs.
     """
-    conv = rgcn_conv(p, cfg, lc, h, snap, train, rng)
+    conv = h if conv_in else rgcn_conv(p, cfg, lc, h, snap, train, rng)
     h0 = prev * decay_factor(p, cfg, dt)
     key = {"fwd": "gru_fwd", "bwd": "gru_bwd", None: "gru"}[direction]
     rec = _run_gru(cfg, p[key], conv, h0)

@@ -156,12 +156,28 @@ class Trainer:
                 unroll=max(1, ep_unroll))
             return params, opt_state, losses
 
+        from temp_tpu.parallel.edge_partition import EdgePartitionedModel
+        conv1_able = (not isinstance(model, EdgePartitionedModel)
+                      and hasattr(model, "precompute_eval_conv1")
+                      and os.environ.get("TEMP_TPU_EVAL_CONV1", "1") != "0")
+
         @partial(jax.jit, static_argnames=("split",), **out_kw)
         def eval_epoch(params, data, t_pos_all, t_valid_all, split):
+            # eval cross-target reuse (VERDICT r4 item 5): layer-1 convs are
+            # target-independent, so compute them ONCE for the whole sweep
+            # (outside the batch scan) and let every window gather them
+            conv1_all = (model.precompute_eval_conv1(params, data)
+                         if conv1_able else None)
+
             def body(_, xs):
                 t_pos, t_valid = xs
-                ranks, mask, bce = model.eval_ranks(params, data, t_pos,
-                                                    t_valid, split)
+                if conv1_all is not None:
+                    ranks, mask, bce = model.eval_ranks(
+                        params, data, t_pos, t_valid, split,
+                        conv1_all=conv1_all)
+                else:
+                    ranks, mask, bce = model.eval_ranks(params, data, t_pos,
+                                                        t_valid, split)
                 return None, (ranks, mask, bce)
 
             _, (ranks, mask, bces) = jax.lax.scan(

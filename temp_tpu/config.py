@@ -216,7 +216,12 @@ class TKGConfig:
         if not self.edge_partition:
             return None
         if self.edge_partition is True:
-            return "psum"
+            # bare `edge_partition=true` gets the best mode: boundary-only
+            # exchange measured at 1.34% of psum's wire bytes at icews14
+            # mp=8 (MULTICHIP_r04.json; benchmarks/comm_volume.py) with
+            # rank-identical results (tests/test_boundary_mode.py). psum/
+            # ring remain selectable by name for A/Bs.
+            return "boundary"
         mode = str(self.edge_partition)
         assert mode in ("psum", "ring", "ring_pallas", "boundary"), mode
         return mode

@@ -290,18 +290,28 @@ class TestEdgePartitionedModel:
 
     def test_trainer_integration(self, setup):
         """cfg.edge_partition=True makes the Trainer wrap the model and run a
-        full fused epoch + eval through the shard_map path."""
+        full fused epoch + eval through the shard_map path. Bare `True` maps
+        to the BOUNDARY mode (the measured-best exchange, config.py) — the
+        data here gets the same dst-owner-grouped layout + cut tables that
+        build_tkg_data._ring_layout applies for real datasets."""
         import dataclasses
+        from temp_tpu.parallel.edge_partition import (
+            EdgePartitionedModel, boundary_tables, ring_regroup_data)
         from temp_tpu.train.loop import Trainer
 
         cfg, data, model, params = setup
-        cfg2 = dataclasses.replace(cfg, edge_partition=True)
+        cfg2 = dataclasses.replace(cfg, edge_partition=True, mp_size=4)
+        assert cfg2.edge_partition_mode == "boundary"
+        data = ring_regroup_data(data, m=4)
+        bnd_c, bnd_g = boundary_tables(data, 4)
+        data = jax.device_put(data.replace(bnd_c=bnd_c, bnd_g=bnd_g))
+        model = get_model(cfg2, data)
         mesh = make_mesh(2, 4)
         with use_mesh(mesh):
             trainer = Trainer(cfg2, model, data, run_dir="/tmp/tkg_edgepart",
                               mesh=mesh)
-            from temp_tpu.parallel.edge_partition import EdgePartitionedModel
             assert isinstance(trainer.model, EdgePartitionedModel)
+            assert trainer.model.mode == "boundary"
             p, o = trainer.init_state(seed=0)
             t_pos_all, t_valid_all = trainer._put_batches(
                 *Trainer._stack_batches(data.num_times, cfg2.batch_size, None))

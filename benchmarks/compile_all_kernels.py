@@ -112,15 +112,23 @@ def main():
                 ensure_synthetic(cfg.dataset)
             data = jax.device_put(build_tkg_data(cfg))
             model = get_model(cfg, data)
+            # data (and the model's HistoryTables) must ride the jit
+            # ARGUMENT path — closed over they embed as HLO literals and
+            # overflow the compile request at icews05-15/GDELT scale
+            # (HTTP 413; same fix as train/loop.py attach_tables)
+            attach = getattr(model, "attach_tables", None)
+            if attach is not None:
+                data = attach(data)
             params = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
             B = cfg.batch_size
             t_pos = jnp.zeros((B,), jnp.int32)
             t_valid = jnp.ones((B,), bool)
 
-            def loss_fn(p, d=data, m=model, tp=t_pos, tv=t_valid):
+            def loss_fn(p, d, m=model, tp=t_pos, tv=t_valid):
                 return m.loss(p, d, tp, tv, jax.random.PRNGKey(1))
 
-            jax.jit(jax.value_and_grad(loss_fn)).lower(params).compile()
+            jax.jit(jax.value_and_grad(loss_fn)).lower(params,
+                                                       data).compile()
             compiled.append({
                 "case": name,
                 "fused": which_fused(cfg, data),
@@ -128,9 +136,18 @@ def main():
             })
         except Exception as e:  # noqa: BLE001 — record and keep sweeping
             msg = str(e)
-            failed.append({"case": name,
-                           "error": msg[:400] + ("..." if len(msg) > 400
-                                                 else ""),
+            log = f"results/round5/compile_smoke_{name}.err"
+            try:
+                os.makedirs(os.path.dirname(log), exist_ok=True)
+                with open(log, "w") as f:
+                    f.write(msg)
+            except OSError:
+                log = None
+            # surface the OOM/size line if present, else the tail
+            key = [ln for ln in msg.splitlines()
+                   if "Ran out of memory" in ln or "exceeded" in ln]
+            short = (key[0][:400] if key else msg[-400:])
+            failed.append({"case": name, "error": short, "log": log,
                            "compile_s": round(time.time() - t0, 1)})
 
     ok = not failed

@@ -133,6 +133,16 @@ class TKGConfig:
     # the 46-sequential-step XLA dispatch chain that dominates after the
     # window kernel (results/round3/ablate_epoch_fused.json).
     fused_final: object = "auto"
+    # Cross-element batched window kernel (ops/fused_window_mb.py): the
+    # whole batch's history windows run as ONE Pallas program with step-k
+    # work fused into [B*A, d] MXU ops, instead of B sequential
+    # small-operand programs under vmap. Bit-exact vs the per-element
+    # kernel in f32 (tests/test_fused_window_mb.py) but measured SLOWER on
+    # v5e (uni 0.92x, flagship 0.95x epochs — the block-diagonal one-hot
+    # construction + per-element prev-gathers cost more than the program
+    # boundaries they remove; results/round5/validate_mb.json), so it
+    # ships DEFAULT OFF as a documented negative result, like fused_eval.
+    fused_window_mb: object = False
 
     @staticmethod
     def _auto_flag(value) -> bool:
@@ -151,6 +161,10 @@ class TKGConfig:
     @property
     def fused_final_on(self) -> bool:
         return self._auto_flag(self.fused_final)
+
+    @property
+    def fused_window_mb_on(self) -> bool:
+        return self._auto_flag(self.fused_window_mb)
 
     # fused eval kernel (ops/fused_final._eval_kernel): final encoder +
     # filtered ranks + BCE in one Pallas program. Measured NEUTRAL on v5e

@@ -98,6 +98,13 @@ class TKGData:
     # each (owner, consumer) shard pair exchanges — compact and global space
     bnd_c: Any = None  # [T, m, m, Cc] int32 or None
     bnd_g: Any = None  # [T, m, m, Cg] int32 or None
+    # last-active gather tables (HistoryTables), attached by the Trainer
+    # (models/dynamic.attach_tables) so they ride the jit ARGUMENT path:
+    # closed-over on the model they embed as HLO literals — ~340 MB at
+    # icews05-15 scale, which overflowed the remote-compile request
+    # (HTTP 413, results/round5/queue_r5.log)
+    tbl_fwd: Any = None
+    tbl_bwd: Any = None
 
     num_ents: int = struct.field(pytree_node=False, default=0)
     num_rels: int = struct.field(pytree_node=False, default=0)

@@ -38,10 +38,12 @@ class BiDynamicRGCNModel(DynamicRGCNModel):
         rates_b = self.drop_future[t_pos] if self.drop_future is not None else None
         h1f, h2f, lp_f = self.pre_forward(params, win_f, length, train, k_f,
                                           t_pos, direction="fwd",
-                                          drop_rates=rates_f)
+                                          drop_rates=rates_f,
+                                          tbl=self._tables_for("fwd", data))
         h1b, h2b, lp_b = self.pre_forward(params, win_b, length, train, k_b,
                                           t_pos, direction="bwd",
-                                          drop_rates=rates_b)
+                                          drop_rates=rates_b,
+                                          tbl=self._tables_for("bwd", data))
 
         emask = win_f.emask[length - 1]
         if train:

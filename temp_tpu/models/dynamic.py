@@ -213,12 +213,23 @@ class DynamicRGCNModel:
             rates,
         )
 
-    def _tables_for(self, direction):
+    def _tables_for(self, direction, data=None):
+        """Prefer tables riding the `data` pytree (jit argument path —
+        attach_tables); fall back to the model attributes (small datasets,
+        direct-call tests), where they lower as HLO constants."""
+        if data is not None and data.tbl_fwd is not None:
+            return data.tbl_bwd if direction == "bwd" else data.tbl_fwd
         return self.tbl_bwd if direction == "bwd" else self.tbl_fwd
+
+    def attach_tables(self, data: TKGData) -> TKGData:
+        """Attach the HistoryTables to the data pytree (Trainer calls this
+        before device_put so jitted steps receive them as ARGUMENTS, not
+        ~340 MB of embedded HLO literals at icews05-15 scale)."""
+        return data.replace(tbl_fwd=self.tbl_fwd, tbl_bwd=self.tbl_bwd)
 
     def pre_forward(self, params, win: WindowSlice, length: int,
                     train: bool, rng, t_pos, direction=None, drop_rates=None,
-                    with_loc: bool = False, conv1_xs=None):
+                    with_loc: bool = False, conv1_xs=None, tbl=None):
         """Scan the first length-1 window snapshots, accumulating history
         (reference pre_forward, DynamicRGCN.py:156-174).
 
@@ -250,7 +261,7 @@ class DynamicRGCNModel:
             zero = jnp.zeros((N, d))
             outs = (zero,) * (3 if with_loc else 2)
             return outs + (jnp.zeros((N,), jnp.float32),)
-        tbl = self._tables_for(direction)
+        tbl = tbl if tbl is not None else self._tables_for(direction)
         prev_step = tbl.prev_step[t_pos]   # [L1, A] int16
         prev_row = tbl.prev_row[t_pos]
 
@@ -367,6 +378,81 @@ class DynamicRGCNModel:
         """Gathered input features for the compact active set."""
         return params["ent_embeds"][rows]
 
+    def pre_forward_mb(self, params, data, t_pos, length: int, train: bool,
+                       k_pres, drop_rates=None, direction=None,
+                       with_loc: bool = False, conv1_xs=None):
+        """Batched pre_forward: the whole batch's windows run through ONE
+        cross-element fused kernel (ops/fused_window_mb.py) instead of B
+        sequential per-element programs. Semantically identical to
+        vmap(pre_forward) — the kernel is bit-exact vs the per-element one
+        in f32 mode and dropout masks are drawn with the same per-element
+        key splits. Returns (hist1, hist2[, hist_loc], last_pos), all with
+        a leading batch dim.
+        """
+        from temp_tpu.ops.fused_window_mb import fused_window_scan_mb
+        from temp_tpu.parallel.mesh import shard_entity
+
+        cfg = self.cfg
+        d = cfg.embed_size
+        L1 = length - 1
+        n_buf = 3 if with_loc else 2
+        backward = direction == "bwd"
+        win = jax.vmap(
+            lambda tp: gather_window(data, tp, length, backward=backward)
+        )(t_pos)
+        tbl = self._tables_for(direction, data)
+        prev_step = tbl.prev_step[t_pos]          # [B, L1, A]
+        prev_row = tbl.prev_row[t_pos]
+        A = win.act_idx.shape[2]
+
+        pos = jnp.arange(L1, dtype=jnp.int32)[None, :, None]
+        livem = prev_step >= 0
+        dt_tab = pos.astype(jnp.float32) - jnp.maximum(
+            prev_step, 0).astype(jnp.float32)
+        if conv1_xs is not None and not train:
+            h0_xs = conv1_xs
+        else:
+            conv1_xs = None
+            h0_xs = self.input_embeddings_rows(
+                params, win.t_idx[:, :L1], win.act_idx[:, :L1])
+        bufs = fused_window_scan_mb(
+            params["encoder"], cfg, self.lc2, h0_xs,
+            win.src_loc[:, :L1], win.dst_loc[:, :L1], win.rel[:, :L1],
+            win.emask[:, :L1], prev_step, prev_row, dt_tab, livem,
+            k_pres, train, n_buf, direction=direction,
+            conv1_in=conv1_xs is not None)
+
+        fin_step = tbl.fin_step[t_pos]            # [B, N]
+        fin_row = tbl.fin_row[t_pos]
+        has = (fin_step >= 0)[..., None]
+        fidx = (jnp.maximum(fin_step, 0).astype(jnp.int32) * A
+                + fin_row.astype(jnp.int32))
+
+        def densify(buf_b, fidx_b, has_b):
+            return shard_entity(
+                buf_b.reshape(L1 * A, d)[fidx_b] * has_b.astype(buf_b.dtype))
+
+        dense = tuple(jax.vmap(densify)(b, fidx, has) for b in bufs)
+        last_pos = jnp.maximum(fin_step, 0).astype(jnp.float32)
+        return dense + (jax.vmap(shard_entity)(last_pos),)
+
+    def _use_mb(self, data: TKGData, B: int, length: int, train: bool,
+                with_loc: bool = False) -> bool:
+        """Dispatch check for the batched window kernel."""
+        from temp_tpu.models.encoders import _base_module
+        from temp_tpu.ops.fused_window_mb import fused_window_mb_supported
+        from temp_tpu.parallel.mesh import manual_axis
+        cfg = self.cfg
+        use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
+        use_drop_edge = train and cfg.edge_dropout
+        return (cfg.fused_window_on and cfg.fused_window_mb_on
+                and manual_axis() is None
+                and not use_dropout and not use_drop_edge
+                and fused_window_mb_supported(
+                    cfg, _base_module(cfg.module), 3 if with_loc else 2,
+                    use_dropout, use_drop_edge, B, length - 1,
+                    data.act_idx.shape[1], data.train.src.shape[1]))
+
     def _window_conv1(self, data: TKGData, conv1_all, t_pos, length: int,
                       backward: bool = False):
         """[L1, A, d] slice of the precomputed conv1 table for one window
@@ -379,17 +465,23 @@ class DynamicRGCNModel:
         return conv1_all[safe]
 
     def forward_element(self, params, data: TKGData, t_pos, train: bool, rng,
-                        conv1_xs=None):
-        """Full forward for one target time -> dense [N, d] entity table."""
+                        conv1_xs=None, hists=None):
+        """Full forward for one target time -> dense [N, d] entity table.
+
+        `hists`: precomputed (hist1, hist2, last_pos) from the batched
+        window kernel (pre_forward_mb) — skips the per-element window."""
         cfg = self.cfg
         length = self.train_len if train else self.eval_len
         win = gather_window(data, t_pos, length)
         k_pre, k_fin, k_sub = jax.random.split(rng, 3)
         rates = self.drop_past[t_pos] if self.drop_past is not None else None
-        hist1, hist2, last_pos = self.pre_forward(params, win, length, train,
-                                                  k_pre, t_pos,
-                                                  drop_rates=rates,
-                                                  conv1_xs=conv1_xs)
+        if hists is not None:
+            hist1, hist2, last_pos = hists
+        else:
+            hist1, hist2, last_pos = self.pre_forward(
+                params, win, length, train, k_pre, t_pos,
+                drop_rates=rates, conv1_xs=conv1_xs,
+                tbl=self._tables_for(None, data))
 
         emask = win.emask[length - 1]
         if train:
@@ -432,8 +524,23 @@ class DynamicRGCNModel:
                   and fused_final_supported(
                       cfg, _base_module(cfg.module), self.num_ents,
                       data.train.src.shape[1]))
+        # cross-element batched window (ops/fused_window_mb.py): run the
+        # whole batch's windows through ONE kernel BEFORE the vmap instead
+        # of B sequential per-element programs. Key split structure below
+        # mirrors `one` exactly, so losses are identical to the per-element
+        # path (bit-exact in f32).
+        use_mb = use_ff and self._use_mb(data, B, self.train_len, True)
+        if use_mb:
+            rr = jax.vmap(jax.random.split)(rngs)          # [B, 2, 2]
+            k3 = jax.vmap(lambda r: jax.random.split(r, 3))(rr[:, 0])
+            hist1_B, hist2_B, last_pos_B = self.pre_forward_mb(
+                params, data, t_pos, self.train_len, True, k3[:, 0])
+        else:
+            z = jnp.zeros((B, 1, 1), jnp.float32)
+            hist1_B = hist2_B = z
+            last_pos_B = jnp.zeros((B, 1), jnp.float32)
 
-        def one(tp, tv, r):
+        def one(tp, tv, r, h1_mb, h2_mb, lp_mb):
             r_fwd, r_loss = jax.random.split(r)
             tr = data.train
             if use_ff:
@@ -449,8 +556,12 @@ class DynamicRGCNModel:
                 k_pos = jax.random.split(r_loss, 3)[0]
                 rates = (self.drop_past[tp]
                          if self.drop_past is not None else None)
-                hist1, hist2, last_pos = self.pre_forward(
-                    params, win, length, True, k_pre, tp, drop_rates=rates)
+                if use_mb:
+                    hist1, hist2, last_pos = h1_mb, h2_mb, lp_mb
+                else:
+                    hist1, hist2, last_pos = self.pre_forward(
+                        params, win, length, True, k_pre, tp,
+                        drop_rates=rates, tbl=self._tables_for(None, data))
                 emask_full = win.emask[length - 1]
                 emask_enc = subsample_edges(k_sub, emask_full, 0.5)
                 loss = fused_final_loss(
@@ -467,7 +578,8 @@ class DynamicRGCNModel:
                 )
             return loss * tv.astype(loss.dtype)
 
-        losses = jax.vmap(one)(t_pos, t_valid, rngs)
+        losses = jax.vmap(one)(t_pos, t_valid, rngs,
+                               hist1_B, hist2_B, last_pos_B)
         return jnp.sum(losses)
 
     def eval_ranks(self, params, data: TKGData, t_pos, t_valid, split: str,
@@ -494,9 +606,23 @@ class DynamicRGCNModel:
                   and fused_eval_supported(
                       cfg, _base_module(cfg.module), self.num_ents,
                       data.train.src.shape[1], edges.src.shape[1]))
+        use_mb = (type(self) is DynamicRGCNModel
+                  and self._use_mb(data, B, self.eval_len, False))
+        if use_mb:
+            c1B = (None if conv1_all is None else jax.vmap(
+                lambda tp: self._window_conv1(data, conv1_all, tp,
+                                              self.eval_len))(t_pos))
+            hist1_B, hist2_B, last_pos_B = self.pre_forward_mb(
+                params, data, t_pos, self.eval_len, False,
+                jax.random.split(rng, B), conv1_xs=c1B)
+        else:
+            z = jnp.zeros((B, 1, 1), jnp.float32)
+            hist1_B = hist2_B = z
+            last_pos_B = jnp.zeros((B, 1), jnp.float32)
 
-        def one(tp, tv):
-            c1 = (None if conv1_all is None
+        def one(tp, tv, h1_mb, h2_mb, lp_mb):
+            hists = (h1_mb, h2_mb, lp_mb) if use_mb else None
+            c1 = (None if conv1_all is None or use_mb
                   else self._window_conv1(data, conv1_all, tp, self.eval_len))
             if use_fe:
                 # fused final-encoder + filtered-rank + BCE kernel
@@ -504,8 +630,12 @@ class DynamicRGCNModel:
                 # runs through pre_forward (fused or scan)
                 length = self.eval_len
                 win = gather_window(data, tp, length)
-                hist1, hist2, last_pos = self.pre_forward(
-                    params, win, length, False, rng, tp, conv1_xs=c1)
+                if hists is not None:
+                    hist1, hist2, last_pos = hists
+                else:
+                    hist1, hist2, last_pos = self.pre_forward(
+                        params, win, length, False, rng, tp, conv1_xs=c1,
+                        tbl=self._tables_for(None, data))
                 ranks, mask, bce = fused_eval_ranks(
                     params, cfg, self.lc2, data, hist1, hist2, last_pos,
                     win.src[length - 1], win.dst[length - 1],
@@ -513,11 +643,15 @@ class DynamicRGCNModel:
                     edges.src[tp], edges.dst[tp], edges.rel[tp],
                     edges.emask[tp], tp)
                 return ranks, mask & tv, bce
-            # kwarg only when set: Bi/Post overrides don't take conv1_xs
-            table = (self.forward_element(params, data, tp, False, rng,
-                                          conv1_xs=c1)
-                     if c1 is not None
-                     else self.forward_element(params, data, tp, False, rng))
+            # kwargs only when set: Bi/Post overrides don't take them
+            if hists is not None:
+                table = self.forward_element(params, data, tp, False, rng,
+                                             hists=hists)
+            elif c1 is not None:
+                table = self.forward_element(params, data, tp, False, rng,
+                                             conv1_xs=c1)
+            else:
+                table = self.forward_element(params, data, tp, False, rng)
             ranks, mask, bce = eval_ranks_single(
                 self.cfg, data, self.score_all, self.score_single,
                 params["rel_embeds"], table, tp,
@@ -525,7 +659,8 @@ class DynamicRGCNModel:
             )
             return ranks, mask & tv, bce
 
-        ranks, mask, bces = jax.vmap(one)(t_pos, t_valid)
+        ranks, mask, bces = jax.vmap(one)(t_pos, t_valid,
+                                          hist1_B, hist2_B, last_pos_B)
         has_q = jnp.sum(mask, axis=1) > 0
         mean_bce = jnp.sum(bces * has_q) / jnp.maximum(jnp.sum(has_q), 1)
         return ranks, mask, mean_bce

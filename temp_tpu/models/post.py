@@ -111,13 +111,13 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
 
     def pre_forward_loc(self, params, win: WindowSlice, length: int,
                         train: bool, rng, t_pos, direction=None,
-                        drop_rates=None):
+                        drop_rates=None, tbl=None):
         """pre_forward carrying the extra local-embedding history
         (ImputeDynamicRGCN.pre_forward, PostDynamicRGCN.py:60-79) — the
         compact-scan pre_forward with the third (loc) output stream."""
         return self.pre_forward(params, win, length, train, rng, t_pos,
                                 direction=direction, drop_rates=drop_rates,
-                                with_loc=True)
+                                with_loc=True, tbl=tbl)
 
     def _final_tables(self, params, snap: Snapshot, h1, h2, hloc, dt,
                       train: bool, rng):
@@ -178,8 +178,9 @@ class PostDynamicRGCNModel(DynamicRGCNModel):
         win = gather_window(data, t_pos, length)
         k_pre, k_fin, k_sub = jax.random.split(rng, 3)
         rates = self.drop_past[t_pos] if self.drop_past is not None else None
-        h1, h2, hloc, lp = self.pre_forward_loc(params, win, length, train,
-                                                k_pre, t_pos, drop_rates=rates)
+        h1, h2, hloc, lp = self.pre_forward_loc(
+            params, win, length, train, k_pre, t_pos, drop_rates=rates,
+            tbl=self._tables_for(None, data))
         emask = win.emask[length - 1]
         if train:
             emask = subsample_edges(k_sub, emask, 0.5)
@@ -414,7 +415,26 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
         rngs = jax.random.split(rng, B)
         length = self.train_len
 
-        def one(tp, tv, r):
+        # cross-element batched window (ops/fused_window_mb.py): both
+        # directions' windows for the WHOLE batch run as single kernels
+        # before the vmap. Key splits mirror `one` exactly, so losses
+        # match the per-element path (bit-exact in f32).
+        use_mb = self._use_mb(data, B, length, True, with_loc=True)
+        if use_mb:
+            rr = jax.vmap(jax.random.split)(rngs)
+            k4 = jax.vmap(lambda r: jax.random.split(r, 4))(rr[:, 0])
+            hf_B = self.pre_forward_mb(
+                params, data, t_pos, length, True, k4[:, 0],
+                direction="fwd", with_loc=True)
+            hb_B = self.pre_forward_mb(
+                params, data, t_pos, length, True, k4[:, 1],
+                direction="bwd", with_loc=True)
+        else:
+            z = jnp.zeros((B, 1, 1), jnp.float32)
+            zl = jnp.zeros((B, 1), jnp.float32)
+            hf_B = hb_B = (z, z, z, zl)
+
+        def one(tp, tv, r, hf, hb):
             # key derivation mirrors DynamicRGCN.loss -> Post.forward_element
             # -> forward_tables + train_loss_single exactly, so fused and XLA
             # paths draw identical dropout masks, edge subsamples, and
@@ -423,17 +443,21 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
             k_f, k_b, k_fin, k_sub = jax.random.split(r_fwd, 4)
             k_pos = jax.random.split(r_loss, 3)[0]
             win_f = gather_window(data, tp, length, backward=False)
-            win_b = gather_window(data, tp, length, backward=True)
-            rates_f = (self.drop_past[tp]
-                       if self.drop_past is not None else None)
-            rates_b = (self.drop_future[tp]
-                       if self.drop_future is not None else None)
-            h1f, h2f, hlocf, lpf = self.pre_forward_loc(
-                params, win_f, length, True, k_f, tp, direction="fwd",
-                drop_rates=rates_f)
-            h1b, h2b, hlocb, lpb = self.pre_forward_loc(
-                params, win_b, length, True, k_b, tp, direction="bwd",
-                drop_rates=rates_b)
+            if use_mb:
+                h1f, h2f, hlocf, lpf = hf
+                h1b, h2b, hlocb, lpb = hb
+            else:
+                win_b = gather_window(data, tp, length, backward=True)
+                rates_f = (self.drop_past[tp]
+                           if self.drop_past is not None else None)
+                rates_b = (self.drop_future[tp]
+                           if self.drop_future is not None else None)
+                h1f, h2f, hlocf, lpf = self.pre_forward_loc(
+                    params, win_f, length, True, k_f, tp, direction="fwd",
+                    drop_rates=rates_f, tbl=self._tables_for("fwd", data))
+                h1b, h2b, hlocb, lpb = self.pre_forward_loc(
+                    params, win_b, length, True, k_b, tp, direction="bwd",
+                    drop_rates=rates_b, tbl=self._tables_for("bwd", data))
             emask_full = win_f.emask[length - 1]
             emask_enc = subsample_edges(k_sub, emask_full, 0.5)
             loss = fused_final_bi_loss(
@@ -444,7 +468,7 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
                 k_fin, k_pos, True)
             return loss * tv.astype(loss.dtype)
 
-        return jnp.sum(jax.vmap(one)(t_pos, t_valid, rngs))
+        return jnp.sum(jax.vmap(one)(t_pos, t_valid, rngs, hf_B, hb_B))
 
     def forward_tables(self, params, data: TKGData, t_pos, train: bool, rng):
         cfg = self.cfg
@@ -456,10 +480,10 @@ class PostBiDynamicRGCNModel(PostDynamicRGCNModel):
         rates_b = self.drop_future[t_pos] if self.drop_future is not None else None
         h1f, h2f, hlocf, lpf = self.pre_forward_loc(
             params, win_f, length, train, k_f, t_pos, direction="fwd",
-            drop_rates=rates_f)
+            drop_rates=rates_f, tbl=self._tables_for("fwd", data))
         h1b, h2b, hlocb, lpb = self.pre_forward_loc(
             params, win_b, length, train, k_b, t_pos, direction="bwd",
-            drop_rates=rates_b)
+            drop_rates=rates_b, tbl=self._tables_for("bwd", data))
         emask = win_f.emask[length - 1]
         if train:
             emask = subsample_edges(k_sub, emask, 0.5)

@@ -405,14 +405,11 @@ def _fused_window_fwd(static, h0x, src, dst, rel, emf, gidx, live,
     return outs, res
 
 
-def _fused_window_bwd(static, res, gs):
+def _call_bwd(static, ins, b1f, b2f, gs):
+    """One per-element backward pallas_call (shared with the batched
+    wrapper in ops/fused_window_mb.py, which vmaps this over the batch)."""
     (L1, Ap, Ep, d, Rp, rate, act2, lam, train, n_buf, dtype_str,
      store_dt_str, interpret, conv1_in) = static
-    assert not conv1_in, (
-        "conv1_in is an eval-only (forward-only) mode: the backward kernel "
-        "recomputes conv1 and has no injected-conv1 branch")
-    ins = res[:_N_IN]
-    b1f, b2f = res[_N_IN], res[_N_IN + 1]
     n_g = 2 + (1 if n_buf == 3 else 0)
     kern = functools.partial(
         _bwd_kernel, L1=L1, Ap=Ap, Ep=Ep, d=d, Rp=Rp, rate=rate, act2=act2,
@@ -431,7 +428,7 @@ def _fused_window_bwd(static, res, gs):
         jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),    # dbih2
         jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),    # dbhh2
     )
-    grads = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         out_shape=out_shape,
         in_specs=_vmem_specs(interpret, _N_IN + 2 + n_g),
@@ -443,6 +440,17 @@ def _fused_window_bwd(static, res, gs):
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*ins, b1f, b2f, *gs)
+
+
+def _fused_window_bwd(static, res, gs):
+    (L1, Ap, Ep, d, Rp, rate, act2, lam, train, n_buf, dtype_str,
+     store_dt_str, interpret, conv1_in) = static
+    assert not conv1_in, (
+        "conv1_in is an eval-only (forward-only) mode: the backward kernel "
+        "recomputes conv1 and has no injected-conv1 branch")
+    ins = res[:_N_IN]
+    b1f, b2f = res[_N_IN], res[_N_IN + 1]
+    grads = _call_bwd(static, ins, b1f, b2f, gs)
     (dh0x, dwrel, dloop1, dloop2, dwih1, dwhh1, dwih2, dwhh2,
      dbih1, dbhh1, dbih2, dbhh2) = grads
     # cotangents in primal-arg order (= kernel-input order, res[:_N_IN]):

@@ -66,6 +66,13 @@ class Trainer:
             from temp_tpu.parallel.edge_partition import EdgePartitionedModel
             self.model = model = EdgePartitionedModel(
                 model, mesh, mode=cfg.edge_partition_mode)
+        # attach the model's HistoryTables to the data pytree so jitted
+        # steps receive them as ARGUMENTS — closed over they embed as HLO
+        # literals (~340 MB at icews05-15 scale, overflowing the remote
+        # compile request; results/round5/queue_r5.log HTTP 413)
+        attach = getattr(self.model, "attach_tables", None)
+        if attach is not None:
+            data = attach(data)
         if mesh is not None:
             from temp_tpu.parallel.mesh import replicated
             self.data = jax.device_put(data, replicated(mesh))

@@ -129,6 +129,20 @@ def main():
 
             jax.jit(jax.value_and_grad(loss_fn)).lower(params,
                                                        data).compile()
+
+            # eval dispatch too (round-5 review): the eval-side Mosaic
+            # programs differ from training (train=False statics, the
+            # conv1_in precompute variant that ships default-on) and must
+            # also prove they compile on the chip
+            def eval_fn(p, d, m=model, tp=t_pos, tv=t_valid):
+                c1 = (m.precompute_eval_conv1(p, d)
+                      if hasattr(m, "precompute_eval_conv1") else None)
+                if c1 is not None:
+                    return m.eval_ranks(p, d, tp, tv, "valid",
+                                        conv1_all=c1)
+                return m.eval_ranks(p, d, tp, tv, "valid")
+
+            jax.jit(eval_fn).lower(params, data).compile()
             compiled.append({
                 "case": name,
                 "fused": which_fused(cfg, data),

@@ -54,8 +54,11 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0))
         orig = ffbi.fused_final_bi_supported
         if force:
-            ffbi.fused_final_bi_supported = (
-                lambda *a, **k: orig(*a, **k) or True)
+            # force the fused branch past the VMEM gate: full-size f32 is
+            # excluded for the BACKWARD's sake, but this check is
+            # forward-only (no grads), and the five forward Mosaic
+            # programs compile at f32 (validate_ffbi_v2/v3 logs)
+            ffbi.fused_final_bi_supported = lambda *a, **k: True
         try:
             def loss_fn(p):
                 return model.loss(p, data, t_pos, t_valid,

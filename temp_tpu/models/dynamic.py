@@ -446,6 +446,8 @@ class DynamicRGCNModel:
         use_dropout = train and cfg.random_dropout and not cfg.edge_dropout
         use_drop_edge = train and cfg.edge_dropout
         return (cfg.fused_window_on and cfg.fused_window_mb_on
+                and length > 1  # pre_forward's L1 == 0 early-return has
+                # no batched counterpart (train_seq_len == 1)
                 and manual_axis() is None
                 and not use_dropout and not use_drop_edge
                 and fused_window_mb_supported(

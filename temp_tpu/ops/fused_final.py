@@ -757,7 +757,9 @@ def _vmem_mb_est(Np: int, Ep: int, d: int, hot: bool) -> float:
     (Np=10496; results/round5/compile_icews15_probe.log) — modeled by the
     Np*d term."""
     sb = 2 if hot else 4
-    loss_bwd = 15 * Ep * Np * sb + 8 * Np * d * 4
+    # edge-major [Ep, d]/[Ep, F] term measured via the shared loss-bwd
+    # kernel at GDELT shapes (see fused_final_bi._vmem_mb_est)
+    loss_bwd = 15 * Ep * Np * sb + 8 * Np * d * 4 + 40 * Ep * d * 4
     # fwd: f32 windows/intermediates (x14) + store-dtype tables/transients
     # (x17, calibrated to the 120.30 MB bf16 measurement at Np=10496)
     fwd = (14 * 4 + 17 * sb) * Np * d + 2 * Ep * Np * sb

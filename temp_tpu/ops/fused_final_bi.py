@@ -664,7 +664,13 @@ def _vmem_mb_est(Np: int, Ep: int, d: int, Rp: int,
     gru_bwd = (24 * Np * d + 30 * rb * d + 2 * w_terms) * 4
     conv_bwd = (14 * Np * d + 2 * Ep * Np + Ep * (Rp + 4 * d)
                 + w_terms) * 4
-    loss_bwd = 15 * Ep * Np * sb + 8 * Np * d * 4
+    # loss backward: [Ep, Np] score/softmax transients (dtype-scaled) +
+    # [Np, d] table cotangents + EDGE-MAJOR [Ep, d]/[Ep, F] intermediates,
+    # which dominate at edge-heavy shapes — measured 169.56 MB at GDELT
+    # (Ep=4992, Np=512, bf16; results/round5/compile_smoke_
+    # gdelt_bigrrgcn_impute.err) where the first two terms alone predicted
+    # only 79 MB, while icews14 (Ep=384) compiles and runs
+    loss_bwd = (15 * Ep * Np * sb + 8 * Np * d * 4 + 40 * Ep * d * 4)
     return max(gru_bwd, conv_bwd, loss_bwd) / 2**20
 
 

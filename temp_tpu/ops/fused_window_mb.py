@@ -375,6 +375,11 @@ def fused_window_scan_mb(enc_params, cfg, lc2, h0_xs, src, dst, rel, emask,
     Ap = _round_up(A, _LANE)
     Ep = _round_up(E, _LANE)
 
+    # NOTE: this operand prep mirrors fused_window_scan's line-for-line
+    # (same pad constants Ap-1/-1, same gidx formula, same mask splits) —
+    # the backward vmaps the PER-ELEMENT kernel over these operands, so
+    # any change to fused_window_scan's prep must be mirrored here; the
+    # equality is pinned by tests/test_fused_window_mb.py grad parity
     key = {"fwd": "gru_fwd", "bwd": "gru_bwd", None: "gru"}[direction]
     p1, p2 = enc_params["layer1"], enc_params["layer2"]
     g1, g2 = p1[key][0], p2[key][0]

@@ -155,6 +155,12 @@ def test_bi_vmem_model_not_below_measured_reality():
     assert _vmem_mb_est(7168, 384, 128, 512, hot=False) >= 154.41
     assert _LIMIT_MB <= 128              # v5e physical VMEM per core
     assert _vmem_mb_est(10496, 384, 128, 512, hot=True) > 128
+    # GDELT shapes (edge-heavy: Ep=4992, Np=512): the shared loss backward
+    # measured 169.56 MB at bf16 (results/round5/
+    # compile_smoke_gdelt_bigrrgcn_impute.err) — the edge-major term must
+    # dominate it, while icews14 (Ep=384) stays admitted
+    assert _vmem_mb_est(512, 4992, 128, 512, hot=True) >= 169.56
+    assert _vmem_mb_est(7168, 384, 128, 512, hot=True) <= _LIMIT_MB - 2
 
 
 def test_envelope_excludes_post_gates(data):

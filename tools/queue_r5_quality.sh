@@ -54,3 +54,15 @@ run aggregator_bisargcn7_srgcn7 -c grid/icews14/config_bisargcn.json \
   --compute-dtype $D
 
 echo "=== r5 quality queue done"
+
+# GDELT at HEAD (synthetic splits): first training since round 2 — the
+# calibrated VMEM models route every fused kernel to XLA at these
+# edge-heavy shapes (compile_all_r5e.json), so this proves the gdelt
+# story end-to-end on the current stack. Bounded: throughput/stability
+# evidence, quality is synthetic (STATUS.md †).
+if [ ! -f .data_local/interpolation/gdelt/train.txt ]; then
+  python tools/make_synthetic_dataset.py --preset gdelt \
+    --out .data_local/interpolation/gdelt
+fi
+run gdelt_bigrrgcn_impute_r5 -c grid/gdelt/config_bigrrgcn.json --impute \
+  --data-root "$PWD/.data_local" --compute-dtype $D --max-nb-epochs 10

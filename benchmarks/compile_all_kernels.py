@@ -124,11 +124,22 @@ def main():
             t_pos = jnp.zeros((B,), jnp.int32)
             t_valid = jnp.ones((B,), bool)
 
-            def loss_fn(p, d, m=model, tp=t_pos, tv=t_valid):
-                return m.loss(p, d, tp, tv, jax.random.PRNGKey(1))
-
-            jax.jit(jax.value_and_grad(loss_fn)).lower(params,
-                                                       data).compile()
+            # compile the REAL train_epoch (value_and_grad inside the
+            # lax.scan + optimizer context), not a bare loss grad: at
+            # icews05-15 shapes the fused-final backward fit a standalone
+            # value_and_grad but OOM'd by 1 MB inside the epoch scan
+            # (results/round5/icews15_grrgcn_r5.log) — surrounding-context
+            # layout shifts matter at the VMEM margin
+            from temp_tpu.train.loop import Trainer
+            trainer = Trainer(cfg, model, data,
+                              run_dir=f"/tmp/compile_smoke_{name}")
+            state_shape = jax.eval_shape(trainer.init_state)
+            tp_all = jnp.zeros((2, B), jnp.int32)
+            tv_all = jnp.ones((2, B), bool)
+            trainer.train_epoch.lower(  # already jitted in _build_steps
+                *state_shape, trainer.data, tp_all, tv_all,
+                jax.random.PRNGKey(1)).compile()
+            data = trainer.data  # tables attached (for the eval lowering)
 
             # eval dispatch too (round-5 review): the eval-side Mosaic
             # programs differ from training (train=False statics, the

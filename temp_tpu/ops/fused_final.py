@@ -763,7 +763,13 @@ def _vmem_mb_est(Np: int, Ep: int, d: int, hot: bool) -> float:
     # fwd: f32 windows/intermediates (x14) + store-dtype tables/transients
     # (x17, calibrated to the 120.30 MB bf16 measurement at Np=10496)
     fwd = (14 * 4 + 17 * sb) * Np * d + 2 * Ep * Np * sb
-    return max(loss_bwd, fwd) / 2**20
+    # layer backward (_bwd_layer_kernel): measured 127.98 MB at icews05-15
+    # bf16 shapes INSIDE the train_epoch scan context (1 MB over budget;
+    # results/round5/icews15_grrgcn_r5.log) although a bare value_and_grad
+    # of the same loss compiled — surrounding-context layout shifts eat
+    # the last MB, so the model must clear the measurement
+    layer_bwd = 50 * Np * d * sb
+    return max(loss_bwd, fwd, layer_bwd) / 2**20
 
 
 def fused_final_supported(cfg, base: str, N: int, E: int) -> bool:

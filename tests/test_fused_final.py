@@ -146,3 +146,22 @@ def test_fused_eval_fallback_flagship(data):
     assert np.isfinite(float(bce))
     r = np.asarray(ranks)[np.asarray(mask)]
     assert len(r) > 0 and (r >= 1).all()
+
+
+def test_uni_vmem_model_not_below_measured_reality():
+    """The uni estimator must dominate every measured chip requirement
+    (same discipline as tests/test_fused_final_bi.py):
+
+    - icews05-15 bf16 (Np=10496, Ep=128): the layer backward needed
+      127.98 MB INSIDE the train_epoch scan (1 MB over the 127 MB budget,
+      results/round5/icews15_grrgcn_r5.log) even though a bare
+      value_and_grad compiled — the model must exclude it;
+    - icews14 bf16 must stay admitted (on the bench hot path since
+      round 3);
+    - f32 at icews14 must stay excluded (the shared loss backward's
+      154.41 MB measurement)."""
+    from temp_tpu.ops.fused_final import _LIMIT_MB, _vmem_mb_est
+
+    assert _vmem_mb_est(10496, 128, 128, hot=True) > _LIMIT_MB - 2
+    assert _vmem_mb_est(7168, 384, 128, hot=True) <= _LIMIT_MB - 2
+    assert _vmem_mb_est(7168, 384, 128, hot=False) >= 154.41

@@ -5,12 +5,15 @@ the grid can take, fail on ANY compile error.
 Round-4 postmortem (VERDICT r4): a fused kernel shipped that had only ever
 run under the Mosaic interpreter on CPU and VMEM-OOM'd the first time the
 real chip saw it, crashing the official bench. This script is the structural
-fix — "compiles on chip before it ships": it lowers and compiles, per grid
-config that auto-dispatches a Pallas kernel, the jitted value_and_grad of
-the model loss (forward + custom-VJP backward kernels) and, where relevant,
-the eval path. Nothing is executed; .lower().compile() alone forces the
-Mosaic lowering + scoped-VMEM allocation that round 4's failure mode lives
-in. Run it serialized on the TPU (CLAUDE.md: one TPU process at a time)
+fix — "compiles on chip before it ships": per grid config it lowers and
+compiles the REAL jitted Trainer dispatches — train_epoch (value_and_grad
+inside the lax.scan + optimizer context) and eval_epoch (the batch-scan
+eval sweep incl. the default-on conv1 precompute). The surrounding scan
+context is LOAD-BEARING: at icews05-15 shapes the fused-final backward fit
+a standalone value_and_grad but OOM'd by 1 MB inside the epoch scan
+(results/round5/icews15_grrgcn_r5.log). Nothing is executed;
+.lower().compile() alone forces the Mosaic lowering + scoped-VMEM
+allocation that round 4's failure mode lives in. Run it serialized on the TPU (CLAUDE.md: one TPU process at a time)
 before every end-of-round snapshot:
 
     timeout 3000 python benchmarks/compile_all_kernels.py
@@ -141,19 +144,16 @@ def main():
                 jax.random.PRNGKey(1)).compile()
             data = trainer.data  # tables attached (for the eval lowering)
 
-            # eval dispatch too (round-5 review): the eval-side Mosaic
-            # programs differ from training (train=False statics, the
-            # conv1_in precompute variant that ships default-on) and must
-            # also prove they compile on the chip
-            def eval_fn(p, d, m=model, tp=t_pos, tv=t_valid):
-                c1 = (m.precompute_eval_conv1(p, d)
-                      if hasattr(m, "precompute_eval_conv1") else None)
-                if c1 is not None:
-                    return m.eval_ranks(p, d, tp, tv, "valid",
-                                        conv1_all=c1)
-                return m.eval_ranks(p, d, tp, tv, "valid")
-
-            jax.jit(eval_fn).lower(params, data).compile()
+            # eval dispatch too (round-5 review): lower the SHIPPED
+            # trainer.eval_epoch (batch lax.scan + the same conv1 gating
+            # run_eval uses, at cfg.eval_batch) — the eval-side Mosaic
+            # programs differ from training and the scan context matters
+            # at the VMEM margin just like train_epoch's
+            eb = cfg.eval_batch
+            etp = jnp.zeros((2, eb), jnp.int32)
+            etv = jnp.ones((2, eb), bool)
+            trainer.eval_epoch.lower(
+                state_shape[0], trainer.data, etp, etv, "valid").compile()
             compiled.append({
                 "case": name,
                 "fused": which_fused(cfg, data),
@@ -161,7 +161,7 @@ def main():
             })
         except Exception as e:  # noqa: BLE001 — record and keep sweeping
             msg = str(e)
-            log = f"results/round5/compile_smoke_{name}.err"
+            log = f"results/compile_smoke/{name}.err"
             try:
                 os.makedirs(os.path.dirname(log), exist_ok=True)
                 with open(log, "w") as f:

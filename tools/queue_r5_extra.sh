@@ -29,6 +29,11 @@ run() {
 
 D=bfloat16
 
+if [ ! -f .data_local/interpolation/icews05-15/train.txt ]; then
+  python tools/make_synthetic_dataset.py --preset icews05-15-train \
+    --out .data_local/interpolation/icews05-15
+fi
+
 run icews15_grrgcn_r5 -c grid/icews15/config_grrgcn.json \
   --data-root "$PWD/.data_local" --compute-dtype $D --max-nb-epochs 5
 
